@@ -1,0 +1,71 @@
+"""Observation-tensor emission: 12 planes x size x (size-2), CHW.
+
+TPU-native equivalent of TwixTState::ObservationTensor /
+SetPegAndLinksOnTensor (reference twixt.cc:76-132) and GetTensorPosition
+(reference twixtboard.cc:590-597).  The reference's per-cell scatter loop
+becomes pure bit-unpacking + flips/slices: the coordinate remaps are static
+permutations, so the whole observation is a fused elementwise+transpose XLA
+program with no gather/scatter.
+
+Plane semantics (identical for both observing players):
+  plane 0 / 6   peg of that color with NO links (twixt.cc:90-93)
+  plane 1+d / 7+d  (d in NNE,ENE,ESE,SSE)  peg has a link in east direction d
+                (east-side dedup: every link is recorded once, from its west
+                endpoint; twixt.cc:84-89)
+  plane 5 / 11  peg has blocked east-side neighbors (mask 15 over dirs 0-3,
+                reference twixtcell.h:82-84, twixt.cc:96-98)
+
+Coordinate remaps (reference twixtboard.cc:590-597) drop the opponent's
+endline columns:
+  red  block (planes 0-5):  out[row, col] = cell[x = col+1, y = size-1-row]
+  blue block (planes 6-11): out[row, col] = cell[x = size-1-row, y = size-2-col]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from twixt_for_open_spiel_tpu.ops import geometry as geo
+from twixt_for_open_spiel_tpu.ops.state import State
+
+_U8 = jnp.uint8
+
+
+def _red_view(arr: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[P,P] board array -> [size, size-2] red-block tensor coordinates."""
+    core = arr[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size]
+    # out[r, c] = core[c + 1, size - 1 - r]
+    return jnp.flip(core.T, axis=0)[:, 1 : size - 1]
+
+
+def _blue_view(arr: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[P,P] board array -> [size, size-2] blue-block tensor coordinates."""
+    core = arr[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size]
+    # out[r, c] = core[size - 1 - r, size - 2 - c]
+    return jnp.flip(core, axis=(0, 1))[:, 1 : size - 1]
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def observation(state: State, board_size: int) -> jnp.ndarray:
+    """float32 [12, size, size-2] observation tensor.
+
+    Identical for both observing players (reference twixt.cc:101-132 emits
+    the same planes regardless of ``player``).
+    """
+    planes = []
+    for color_val, view in (
+        (geo.COLOR_RED, _red_view),
+        (geo.COLOR_BLUE, _blue_view),
+    ):
+        is_color = view(state.color == jnp.int8(color_val), board_size)
+        links = view(state.links, board_size)
+        blocked = view(state.blocked, board_size)
+        has_links = links != 0
+        planes.append(is_color & ~has_links)  # plane 0 / 6
+        for d in range(4):  # planes 1-4 / 7-10: NNE, ENE, ESE, SSE
+            planes.append(is_color & (((links >> _U8(d)) & _U8(1)) != 0))
+        planes.append(is_color & ((blocked & _U8(15)) != 0))  # plane 5 / 11
+    return jnp.stack(planes).astype(jnp.float32)
