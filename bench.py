@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: batched random-rollout env throughput on one chip.
+
+Headline metric (BASELINE.json:2): env-steps/s per chip at board_size=12,
+batch 4096 lockstep envs (config 3), with secondary configs 2 (5x5 batch
+256) and 4 (24x24 batch 8192 + observation-tensor emission for the learner
+feed).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
+
+vs_baseline is measured throughput relative to this chip's share of the
+north-star target (>= 10M env-steps/s on one 8-chip v5e host => 1.25M/chip;
+the reference publishes no numbers of its own, BASELINE.json:13).
+
+Details for each config go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
+    from twixt_for_open_spiel_tpu.ops.rollout import (
+        batch_reset,
+        random_rollout,
+    )
+    from twixt_for_open_spiel_tpu.ops.observe import observation
+
+    state = batch_reset(board_size, batch)
+    key = jax.random.PRNGKey(0)
+
+    def run(key, state):
+        final, stats = random_rollout(key, board_size, steps, state)
+        if with_obs:
+            obs = jax.vmap(observation, (0, None))(final, board_size)
+            return final, stats, obs
+        return final, stats
+
+    run_j = jax.jit(run)
+    # compile + warm up
+    out = run_j(key, state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = run_j(jax.random.fold_in(key, i), state)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    env_steps = batch * steps * reps
+    rate = env_steps / dt
+    stats = out[1]
+    print(
+        f"[bench] n={board_size} batch={batch} steps={steps} obs={with_obs}"
+        f" -> {rate:,.0f} env-steps/s ({dt:.2f}s, episodes/rep="
+        f"{int(stats['episodes'])})",
+        file=sys.stderr,
+    )
+    return rate
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"[bench] backend={backend} devices={jax.devices()}", file=sys.stderr)
+    steps = 200 if backend in ("tpu", "axon") else 20
+
+    # config 2: minimal board
+    bench_rollout(5, 256, steps)
+    # config 3: headline
+    headline = bench_rollout(12, 4096, steps)
+    # config 4: max board + obs emission
+    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True)
+
+    per_chip_target = 10e6 / 8  # north-star: 10M/s per 8-chip v5e host
+    print(
+        json.dumps(
+            {
+                "metric": "env-steps/s per chip, twixt board_size=12, "
+                "batch=4096 lockstep random rollouts",
+                "value": round(headline),
+                "unit": "env-steps/s",
+                "vs_baseline": round(headline / per_chip_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

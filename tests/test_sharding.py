@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4, multi-node note): the same shard_map code path used on a
+real multi-chip/multi-host TPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twixt_for_open_spiel_tpu.ops import geometry as geo
+from twixt_for_open_spiel_tpu.ops.rollout import batch_reset, random_rollout
+from twixt_for_open_spiel_tpu.parallel import (
+    ENV_AXIS,
+    make_env_mesh,
+    make_sharded_rollout,
+    sharded_batch_reset,
+    make_distributed_selfplay,
+    make_distributed_train_step,
+)
+from twixt_for_open_spiel_tpu.models import (
+    create_net,
+    init_params,
+    make_optimizer,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_env_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (ENV_AXIS,)
+
+
+def test_sharded_rollout_runs_and_reduces():
+    n, b, steps = 5, 64, 32
+    rollout, mesh = make_sharded_rollout(n, steps)
+    state = sharded_batch_reset(n, b, mesh)
+    final, stats = rollout(jax.random.PRNGKey(0), state)
+    assert final.color.shape == (n + 6, n + 6, b)
+    episodes = int(stats["episodes"])
+    results = np.asarray(stats["results"])
+    assert episodes > 0
+    assert results[geo.RESULT_OPEN] == 0
+    assert results.sum() == episodes
+    # state stays sharded over the env axis
+    shard_sizes = {s.data.shape[-1] for s in final.color.addressable_shards}
+    assert shard_sizes == {b // 8}
+
+
+def test_sharded_selfplay_feeds_sharded_learner():
+    n, b, t = 5, 16, 6
+    net = create_net(n, channels=16, blocks=1)
+    params = init_params(net, jax.random.PRNGKey(0))
+    selfplay, mesh = make_distributed_selfplay(
+        net.apply, n, num_steps=t, num_simulations=4
+    )
+    trainer, _ = make_distributed_train_step(
+        net.apply, make_optimizer(1e-3), mesh
+    )
+    state = sharded_batch_reset(n, b, mesh)
+    state, sample = selfplay(params, state, jax.random.PRNGKey(1))
+    assert sample.obs.shape == (t, b, geo.NUM_PLANES, n, n - 2)
+    # sample batch axis sharded over mesh
+    shard_sizes = {s.data.shape[1] for s in sample.obs.addressable_shards}
+    assert shard_sizes == {b // 8}
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    p2, opt_state, metrics = trainer(params, opt_state, sample)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_rollout_matches_unsharded_episode_accounting():
+    # same seed, same global batch: sharded and single-device rollouts use
+    # different RNG fan-out, so only invariants (not trajectories) compare
+    n, b, steps = 5, 32, 48
+    rollout, mesh = make_sharded_rollout(n, steps)
+    state = sharded_batch_reset(n, b, mesh)
+    _, stats_sharded = rollout(jax.random.PRNGKey(5), state)
+    _, stats_local = random_rollout(
+        jax.random.PRNGKey(5), n, steps, batch_reset(n, b)
+    )
+    for stats in (stats_sharded, stats_local):
+        r = np.asarray(stats["results"])
+        assert r[geo.RESULT_OPEN] == 0
+        assert int(stats["episodes"]) == r.sum()

@@ -1,0 +1,28 @@
+from twixt_for_open_spiel_tpu.models.network import (
+    AZNet,
+    create_net,
+    init_params,
+    masked_policy,
+)
+from twixt_for_open_spiel_tpu.models.mcts import batched_search, search
+from twixt_for_open_spiel_tpu.models.selfplay import (
+    Sample,
+    loss_fn,
+    make_optimizer,
+    selfplay_chunk,
+    train_step,
+)
+
+__all__ = [
+    "AZNet",
+    "create_net",
+    "init_params",
+    "masked_policy",
+    "batched_search",
+    "search",
+    "Sample",
+    "loss_fn",
+    "make_optimizer",
+    "selfplay_chunk",
+    "train_step",
+]

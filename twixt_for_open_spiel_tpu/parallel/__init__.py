@@ -1,0 +1,27 @@
+from twixt_for_open_spiel_tpu.parallel.mesh import (
+    ENV_AXIS,
+    env_sharding,
+    make_env_mesh,
+    replicated,
+    shard_env_pytree,
+)
+from twixt_for_open_spiel_tpu.parallel.envsharding import (
+    make_sharded_rollout,
+    sharded_batch_reset,
+)
+from twixt_for_open_spiel_tpu.parallel.learner_feed import (
+    make_distributed_selfplay,
+    make_distributed_train_step,
+)
+
+__all__ = [
+    "ENV_AXIS",
+    "env_sharding",
+    "make_env_mesh",
+    "replicated",
+    "shard_env_pytree",
+    "make_sharded_rollout",
+    "sharded_batch_reset",
+    "make_distributed_selfplay",
+    "make_distributed_train_step",
+]

@@ -1,0 +1,110 @@
+"""Sharded self-play -> sharded learner, glued by XLA collectives.
+
+The "env shards feed a sharded learner" path of BASELINE.json:5,11: the
+self-play chunk runs env- and search-batched on each device's shard; the
+training step runs data-parallel on the same mesh with gradients psum-ed
+over the env axis.  All communication is XLA collectives over ICI/DCN — the
+TPU-native equivalent of the NCCL all-reduce a GPU framework would hand-roll.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from twixt_for_open_spiel_tpu.models.selfplay import (
+    Sample,
+    loss_fn,
+    selfplay_chunk,
+)
+from twixt_for_open_spiel_tpu.ops.rollout import batch_reset
+from twixt_for_open_spiel_tpu.parallel.mesh import (
+    ENV_AXIS,
+    make_env_mesh,
+    trailing_env_specs,
+)
+
+
+def make_distributed_train_step(net_apply, optimizer, mesh=None):
+    """(params, opt_state, sample) -> (params, opt_state, metrics).
+
+    params/opt_state are replicated; sample is sharded on its batch axis
+    (dim 1, time-major [T, B, ...]).  Gradient averaging is an explicit
+    ``psum`` over the env axis inside shard_map.
+    """
+    mesh = mesh or make_env_mesh()
+    sample_spec = Sample(
+        obs=P(None, ENV_AXIS),
+        policy=P(None, ENV_AXIS),
+        value=P(None, ENV_AXIS),
+        weight=P(None, ENV_AXIS),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), sample_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def dist_train_step(params, opt_state, sample):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, net_apply, sample
+        )
+        # weighted average over shards: each shard's loss/grads are already
+        # normalised by its local frame count, so weight by frames.
+        frames = metrics["train_frames"]
+        total = jax.lax.psum(frames, ENV_AXIS)
+        w = frames / jnp.maximum(total, 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, ENV_AXIS), grads
+        )
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.psum(m * w, ENV_AXIS), metrics
+        )
+        metrics["train_frames"] = total
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return jax.jit(dist_train_step), mesh
+
+
+def make_distributed_selfplay(
+    net_apply, board_size, num_steps, num_simulations, mesh=None
+):
+    """(params, state, key) -> (state, sample) with env-sharded state/sample."""
+    mesh = mesh or make_env_mesh()
+    state_spec = trailing_env_specs(batch_reset(board_size, 1))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), state_spec, P()),
+        out_specs=(state_spec, Sample(
+            obs=P(None, ENV_AXIS),
+            policy=P(None, ENV_AXIS),
+            value=P(None, ENV_AXIS),
+            weight=P(None, ENV_AXIS),
+        )),
+        check_vma=False,
+    )
+    def dist_selfplay(params, state, key):
+        idx = jax.lax.axis_index(ENV_AXIS)
+        key = jax.random.fold_in(key, idx)
+        return selfplay_chunk(
+            params,
+            state,
+            key,
+            net_apply=net_apply,
+            board_size=board_size,
+            num_steps=num_steps,
+            num_simulations=num_simulations,
+        )
+
+    return jax.jit(dist_selfplay), mesh

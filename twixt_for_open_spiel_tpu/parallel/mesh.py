@@ -1,0 +1,73 @@
+"""Device-mesh construction helpers.
+
+The distributed-communication backend of this framework is XLA collectives
+over ICI/DCN expressed through ``jax.sharding`` (SURVEY.md §5, "Distributed
+communication backend") — nothing like NCCL/MPI is hand-written; the mesh is
+the entire transport configuration.
+
+Axis convention:
+  * ``env``  — data parallelism over environment batch (and training batch).
+For multi-host pods the env axis is laid out hosts-major so that the large
+all-reduce segments ride ICI within a host and only the final combine
+crosses DCN (``create_hybrid_device_mesh``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+ENV_AXIS = "env"
+
+
+def make_env_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if jax.process_count() > 1 and len(devices) == jax.device_count():
+        # hosts-major hybrid layout: ICI inside a host, DCN across hosts
+        from jax.experimental import mesh_utils
+
+        per_host = jax.local_device_count()
+        dmesh = mesh_utils.create_hybrid_device_mesh(
+            (per_host,), (jax.process_count(),)
+        )
+        return Mesh(dmesh.reshape(-1), (ENV_AXIS,))
+    return Mesh(np.asarray(devices), (ENV_AXIS,))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the env axis."""
+    return NamedSharding(mesh, P(ENV_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def trailing_env_spec(ndim: int) -> P:
+    """PartitionSpec sharding the trailing axis of an ndim-rank array."""
+    return P(*([None] * (ndim - 1) + [ENV_AXIS]))
+
+
+def trailing_env_specs(batched_tree):
+    """Per-leaf PartitionSpecs sharding every leaf's trailing axis — the
+    layout used by the batched env state (ops/rollout.py BATCH_AXIS)."""
+    return jax.tree_util.tree_map(
+        lambda x: trailing_env_spec(jnp_ndim(x)), batched_tree
+    )
+
+
+def jnp_ndim(x) -> int:
+    return getattr(x, "ndim", np.ndim(x))
+
+
+def shard_env_pytree(tree, mesh: Mesh):
+    """Place a trailing-axis-batched pytree with the env axis sharded."""
+    shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, trailing_env_spec(jnp_ndim(x))), tree
+    )
+    return jax.device_put(tree, shardings)
