@@ -37,7 +37,7 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
     def run(key, state):
         final, stats = random_rollout(key, board_size, steps, state)
         if with_obs:
-            obs = jax.vmap(observation, (0, None))(final, board_size)
+            obs = jax.vmap(observation, (-1, None))(final, board_size)
             return final, stats, obs
         return final, stats
 

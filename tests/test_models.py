@@ -40,11 +40,12 @@ def test_mcts_visits_only_legal(params):
     b = 4
     states = batch_reset(N, b)
     keys = jax.random.split(jax.random.PRNGKey(1), b)
+    from twixt_for_open_spiel_tpu.models.mcts import net_evaluator
     probs, root_q = batched_search(
         params,
         states,
         keys,
-        net_apply=NET.apply,
+        evaluator=net_evaluator(NET.apply, N),
         board_size=N,
         num_simulations=16,
     )
@@ -76,11 +77,12 @@ def test_mcts_prefers_winning_move():
     # red to move; action 48 wins (reference twixt_test.cc:179-182)
     states = jax.tree_util.tree_map(lambda x: x[..., None], s)
     keys = jax.random.split(jax.random.PRNGKey(2), 1)
+    from twixt_for_open_spiel_tpu.models.mcts import net_evaluator
     probs, root_q = batched_search(
         None,
         states,
         keys,
-        net_apply=_uniform_net,
+        evaluator=net_evaluator(_uniform_net, n),
         board_size=n,
         num_simulations=128,
     )

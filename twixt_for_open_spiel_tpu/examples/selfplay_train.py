@@ -1,0 +1,96 @@
+"""AlphaZero-style self-play training driver (BASELINE.json config 5).
+
+Runs the sharded self-play -> sharded-learner loop over the full device
+mesh: env batch sharded over every chip/host, gradients psum-ed across the
+mesh, checkpoints via utils/serialization.
+
+Usage (any mesh size, incl. the virtual 8-device CPU mesh):
+    python -m twixt_for_open_spiel_tpu.examples.selfplay_train \
+        --board_size=12 --batch=256 --chunk_steps=16 --simulations=64 \
+        --iterations=10 --checkpoint_dir=/tmp/twixt_az
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+from twixt_for_open_spiel_tpu.models import (
+    create_net,
+    init_params,
+    make_optimizer,
+)
+from twixt_for_open_spiel_tpu.parallel import (
+    make_distributed_selfplay,
+    make_distributed_train_step,
+    make_env_mesh,
+    sharded_batch_reset,
+)
+from twixt_for_open_spiel_tpu.utils import serialization
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--board_size", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--chunk_steps", type=int, default=16)
+    ap.add_argument("--simulations", type=int, default=64)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint_dir", default=None)
+    args = ap.parse_args(argv)
+
+    n = args.board_size
+    mesh = make_env_mesh()
+    print(f"mesh: {mesh} ({mesh.devices.size} devices)")
+
+    net = create_net(n, channels=args.channels, blocks=args.blocks)
+    params = init_params(net, jax.random.PRNGKey(args.seed))
+    opt = make_optimizer(args.lr)
+    opt_state = opt.init(params)
+
+    selfplay, _ = make_distributed_selfplay(
+        net.apply, n, num_steps=args.chunk_steps,
+        num_simulations=args.simulations, mesh=mesh,
+    )
+    trainer, _ = make_distributed_train_step(net.apply, opt, mesh)
+
+    start_iter = 0
+    if args.checkpoint_dir:
+        restored = serialization.restore_training(
+            args.checkpoint_dir, params, opt_state
+        )
+        if restored is not None:
+            params, opt_state, start_iter = restored
+            print(f"restored checkpoint at iteration {start_iter}")
+
+    state = sharded_batch_reset(n, args.batch, mesh)
+    key = jax.random.PRNGKey(args.seed + 1)
+    for it in range(start_iter, args.iterations):
+        t0 = time.perf_counter()
+        key, k = jax.random.split(key)
+        state, sample = selfplay(params, state, k)
+        params, opt_state, metrics = trainer(params, opt_state, sample)
+        jax.block_until_ready(params)
+        dt = time.perf_counter() - t0
+        frames = args.batch * args.chunk_steps
+        print(
+            f"iter {it}: loss={float(metrics['loss']):.4f} "
+            f"policy={float(metrics['policy_loss']):.4f} "
+            f"value={float(metrics['value_loss']):.4f} "
+            f"train_frames={int(metrics['train_frames'])} "
+            f"({frames / dt:,.0f} mcts-env-steps/s)"
+        )
+        if args.checkpoint_dir:
+            serialization.save_training(
+                args.checkpoint_dir, params, opt_state, it + 1
+            )
+
+
+if __name__ == "__main__":
+    main()

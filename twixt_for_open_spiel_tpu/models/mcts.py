@@ -77,22 +77,80 @@ def _puct_scores(tree: Tree, node, c_puct):
     return jnp.where(tree.legal[node], scores, -jnp.inf)
 
 
-def _evaluate(net_apply, params, state: State, board_size: int):
-    """Net priors+value for one env state; exposed batched via outer vmap."""
-    obs = observation(state, board_size)[None]
-    logits, value = net_apply(params, obs)
-    return logits[0], value[0]
+@functools.lru_cache(maxsize=None)
+def net_evaluator(net_apply, board_size: int):
+    """Leaf evaluator backed by a policy/value network (AlphaZero mode).
+
+    Evaluators map (params, state, key) -> (logits [A], value scalar), value
+    from the perspective of the player to move at ``state``.
+
+    Cached per (net_apply, board_size) so the returned closure is a stable
+    jit static argument (no spurious recompiles).
+    """
+
+    def evaluate(params, state: State, key):
+        del key
+        obs = observation(state, board_size)[None]
+        logits, value = net_apply(params, obs)
+        return logits[0], value[0]
+
+    return evaluate
+
+
+@functools.lru_cache(maxsize=None)
+def rollout_evaluator(board_size: int, rollout_count: int = 1):
+    """Leaf evaluator backed by uniform random playouts (vanilla MCTS mode —
+    the TPU equivalent of OpenSpiel's RandomRolloutEvaluator used by
+    ``mcts_example --rollout_count`` in reference README.md:38-40).
+
+    Plays ``rollout_count`` random games to termination with a bounded
+    ``while_loop`` over the engine step and averages the outcomes.  Priors
+    are uniform (zero logits).
+    """
+    from twixt_for_open_spiel_tpu.ops.rollout import sample_legal_action
+
+    max_moves = board_size * board_size  # >= remaining game length
+
+    def one_rollout(state: State, key):
+        to_move = jnp.clip(state.current_player, 0, 1)
+
+        def cond(carry):
+            s, _, i = carry
+            return (s.result == geo.RESULT_OPEN) & (i < max_moves)
+
+        def body(carry):
+            s, key, i = carry
+            key, k = jax.random.split(key)
+            a = sample_legal_action(s, k, board_size)
+            return step(s, board_size, a), key, i + 1
+
+        final, _, _ = jax.lax.while_loop(cond, body, (state, key, 0))
+        res = final.result
+        return jnp.where(
+            res == geo.RESULT_RED_WIN + to_move,
+            1.0,
+            jnp.where(res == geo.RESULT_DRAW, 0.0, -1.0),
+        )
+
+    def evaluate(params, state: State, key):
+        del params
+        keys = jax.random.split(key, rollout_count)
+        vals = jax.vmap(lambda k: one_rollout(state, k))(keys)
+        logits = jnp.zeros((board_size * board_size,), jnp.float32)
+        return logits, vals.mean()
+
+    return evaluate
 
 
 @functools.partial(
-    jax.jit, static_argnames=("board_size", "num_simulations", "net_apply")
+    jax.jit, static_argnames=("board_size", "num_simulations", "evaluator")
 )
 def search(
     params,
     state: State,
     key,
     *,
-    net_apply,
+    evaluator,
     board_size: int,
     num_simulations: int,
     c_puct: float = 1.4,
@@ -112,13 +170,12 @@ def search(
     nodes = num_simulations + 1
     max_depth = board_size * board_size  # game length bound
 
+    key, k_root, k_noise = jax.random.split(key, 3)
     root_player = jnp.clip(state.current_player, 0, 1)
     root_legal = legal_mask_flat(state, root_player, board_size)
-    root_logits, root_value = _evaluate(
-        net_apply, params, state, board_size
-    )
+    root_logits, root_value = evaluator(params, state, k_root)
     noise = jax.random.dirichlet(
-        key, jnp.full((a_dim,), dirichlet_alpha)
+        k_noise, jnp.full((a_dim,), dirichlet_alpha)
     )
     root_prior = jax.nn.softmax(
         jnp.where(root_legal, root_logits, -1e9)
@@ -192,8 +249,8 @@ def search(
 
         child_player = jnp.clip(child_state.current_player, 0, 1)
         child_legal = legal_mask_flat(child_state, child_player, board_size)
-        logits, value = _evaluate(
-            net_apply, params, child_state, board_size
+        logits, value = evaluator(
+            params, child_state, jax.random.fold_in(key, sim)
         )
         prior = jax.nn.softmax(jnp.where(child_legal, logits, -1e9))
         # leaf value from the perspective of the player to move at the child;

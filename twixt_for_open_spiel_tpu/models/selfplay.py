@@ -74,7 +74,7 @@ def selfplay_chunk(
             params,
             state,
             search_keys,
-            net_apply=net_apply,
+            evaluator=mcts.net_evaluator(net_apply, board_size),
             board_size=board_size,
             num_simulations=num_simulations,
         )
