@@ -9,8 +9,8 @@ from twixt_for_open_spiel_tpu.ops.rollout import (
     batch_reset,
     env_slice,
     random_rollout,
-    vsample_legal_action,
-    vstep_auto_reset,
+    sample_legal_action,
+    step_auto_reset,
 )
 from twixt_for_open_spiel_tpu.ops.state import legal_mask_flat
 
@@ -29,7 +29,7 @@ def test_sampled_actions_always_legal():
     key = jax.random.PRNGKey(0)
     for i in range(30):
         keys = jax.random.split(jax.random.fold_in(key, i), b)
-        actions = vsample_legal_action(s, keys, n)
+        actions = sample_legal_action(s, jax.random.fold_in(key, i), n)
         # every sampled action must be legal for its env's current player
         for e in range(b):
             p = int(s.current_player[e])
@@ -39,7 +39,7 @@ def test_sampled_actions_always_legal():
                 )
             )
             assert mask[int(actions[e])], (i, e)
-        s, done, result = vstep_auto_reset(s, actions, n)
+        s, done, result = step_auto_reset(s, actions, n)
         # auto-reset: no env is ever left terminal
         assert not np.any(np.asarray(s.result) != geo.RESULT_OPEN)
 

@@ -26,7 +26,7 @@ from twixt_for_open_spiel_tpu.ops.observe import observation
 from twixt_for_open_spiel_tpu.ops.rollout import (
     BATCH_AXIS,
     batch_size,
-    vstep_auto_reset,
+    step_auto_reset,
 )
 from twixt_for_open_spiel_tpu.models import mcts
 
@@ -91,7 +91,7 @@ def selfplay_chunk(
         act_keys = jax.random.split(k_act, batch)
         actions = jax.vmap(jax.random.categorical)(act_keys, logits)
 
-        nxt, done, result = vstep_auto_reset(
+        nxt, done, result = step_auto_reset(
             state, actions.astype(jnp.int32), board_size
         )
         out = {

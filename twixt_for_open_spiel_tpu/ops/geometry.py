@@ -180,6 +180,12 @@ def board_masks(size: int):
     color = np.full((p, p), COLOR_OFFBOARD, dtype=np.int8)
     color[on_board] = COLOR_EMPTY
 
+    # Connectivity bookkeeping (see ops/step.py): every cell starts as its
+    # own component, identified by its action index x*size+y; off-board halo
+    # and corner cells get a sentinel id that never matches a live component.
+    compid = np.full((p, p), -1, dtype=np.int16)
+    compid[on_board] = (xs * size + ys)[on_board].astype(np.int16)
+
     return {
         "on_board": on_board,
         "corner": corner,
@@ -187,6 +193,7 @@ def board_masks(size: int):
         "legal1": legal1,
         "init_flags": flags,
         "init_color": color,
+        "init_compid": compid,
     }
 
 

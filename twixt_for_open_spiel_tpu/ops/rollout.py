@@ -1,20 +1,19 @@
-"""Batched lockstep environments: ``jit(vmap(step))`` + auto-reset + masked
-random policies.
+"""Batched lockstep environments: natively-batched ``step`` + auto-reset +
+masked random policies.
 
 This is the framework component the reference does not have (SURVEY.md §2,
 "Batched env vectorization"): thousands of games stepping in lockstep on one
 chip, the unit that `parallel/` shards across a device mesh.  The reference's
 random-sim driver loop (RandomSimTest, twixt_test.cc:28) becomes a
-``lax.fori_loop`` over a vmapped transition with per-env RNG via
-``jax.random.fold_in``.
+``lax.fori_loop`` over the batch-polymorphic transition.
 
 Layout: the env batch is the TRAILING axis of every board-shaped leaf
-(``[P, P, B]``; scalar fields are ``[B]``), via ``vmap(in_axes=-1,
-out_axes=-1)``.  On TPU the minor-most dimension maps to the 128-wide vector
-lanes: with batch minor, a [P, P, B] int8 array tiles perfectly for any
-board size, whereas batch-major [B, P, P] would pad the P(=14..30)-sized
-lane dimension to 128 and waste ~4-9x HBM bandwidth — measured 12.6ms/step
-vs 0.9ms/step at board_size=12, batch=4096 on a v5e chip.
+(``[P, P, B]``; scalar fields are ``[B]``) and ``ops/step.py`` consumes that
+layout natively — deliberately NOT via ``vmap``, which moves the mapped axis
+to the front of every intermediate and would put the P(=14..30)-sized board
+dim in the TPU's 128-wide lane slot (measured ~100x HBM-traffic blowup:
+927MB accessed/step vs ~9MB live state at board_size=12, batch=4096).
+With batch minor, every whole-board op tiles perfectly for any board size.
 """
 
 from __future__ import annotations
@@ -32,13 +31,12 @@ from twixt_for_open_spiel_tpu.ops.state import (
 )
 from twixt_for_open_spiel_tpu.ops.step import step
 
-# vmap axis spec: every State leaf batches on its trailing axis (for the
-# scalar fields the result is 1-D, where axis -1 == axis 0).
+# Kept for API clarity: the env batch axis of every State leaf.
 BATCH_AXIS = -1
 
 
 def batch_size(state: State) -> int:
-    return state.current_player.shape[0]
+    return state.current_player.shape[-1]
 
 
 def batch_reset(board_size: int, batch: int) -> State:
@@ -55,11 +53,18 @@ def env_slice(state: State, e: int) -> State:
 
 
 def sample_legal_action(state: State, key, board_size: int) -> jnp.ndarray:
-    """Uniform random legal action for the current player (single env)."""
+    """Uniform random legal action(s) for the current player(s).
+
+    Batch-polymorphic Gumbel-max over the legal mask: one [A, *B] uniform
+    draw, illegal entries masked to -inf, argmax over the action axis.
+    """
     p = jnp.clip(state.current_player, 0, 1)
-    mask = legal_mask_flat(state, p, board_size)
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    return jax.random.categorical(key, logits).astype(jnp.int32)
+    mask = legal_mask_flat(state, p, board_size)  # [A, *B]
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(key, mask.shape, jnp.float32, 1e-7, 1.0)
+    ))
+    scores = jnp.where(mask, g, -jnp.inf)
+    return jnp.argmax(scores, axis=0).astype(jnp.int32)
 
 
 def step_auto_reset(state: State, action, board_size: int):
@@ -71,30 +76,22 @@ def step_auto_reset(state: State, action, board_size: int):
     nxt = step(state, board_size, action)
     done = nxt.result != geo.RESULT_OPEN
     init = reset(board_size)
-    # done is a scalar per env (this function is used under vmap), so it
-    # broadcasts against every leaf shape.
+    # broadcast the unbatched initial leaves against the (possibly batched)
+    # next-state leaves; done is [*B] and aligns on the trailing axes.
     nxt_or_init = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(done, a, b), init, nxt
+        lambda a, b: jnp.where(
+            done, a.reshape(a.shape + (1,) * (b.ndim - a.ndim)), b
+        ),
+        init,
+        nxt,
     )
     return nxt_or_init, done, nxt.result
 
 
-# batched transition: env axis trailing on State, leading on keys/actions
-vstep_auto_reset = jax.vmap(
-    step_auto_reset, in_axes=(BATCH_AXIS, 0, None), out_axes=(BATCH_AXIS, 0, 0)
-)
-vsample_legal_action = jax.vmap(
-    sample_legal_action, in_axes=(BATCH_AXIS, 0, None), out_axes=0
-)
-
-
 def _rollout_body(board_size, state, key, i):
     key_i = jax.random.fold_in(key, i)
-    env_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        key_i, jnp.arange(batch_size(state), dtype=jnp.uint32)
-    )
-    actions = vsample_legal_action(state, env_keys, board_size)
-    return vstep_auto_reset(state, actions, board_size)
+    actions = sample_legal_action(state, key_i, board_size)
+    return step_auto_reset(state, actions, board_size)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

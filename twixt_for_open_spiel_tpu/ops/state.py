@@ -42,10 +42,18 @@ class State(NamedTuple):
       blocked        uint8 [P,P]  bit d set => same-color neighbor in dir d
                                   could not be linked due to a crossing link
                                   (Cell::blocked_neighbors_)
-      flags          uint8 [P,P]  border-connectivity bits, bit
-                                  (player*2+border) (Cell::linked_to_border_);
-                                  invariant: every cell of a linked component
-                                  carries the component's border flags
+      compid         int16 [P,P]  connected-component id of the cell's link
+                                  component; ids are action indices of peg
+                                  cells, -1 on the halo/corners.  Replaces
+                                  the reference's recursive DFS
+                                  (ExploreLocalGraph) with O(1)-merge
+                                  batched union-find (see ops/step.py).
+      flags          uint8 [P,P]  border-connectivity bits of the cell's
+                                  component, bit (player*2+border)
+                                  (Cell::linked_to_border_); invariant:
+                                  every peg holds its component's full flag
+                                  byte, empty cells their initial border
+                                  flags
       legal          bool  [2,P,P] per-player legal-action masks
                                   (Board::legal_actions_, kept as masks; the
                                   ascending-action-id list order of the
@@ -61,6 +69,7 @@ class State(NamedTuple):
     color: jnp.ndarray
     links: jnp.ndarray
     blocked: jnp.ndarray
+    compid: jnp.ndarray
     flags: jnp.ndarray
     legal: jnp.ndarray
     current_player: jnp.ndarray
@@ -88,6 +97,7 @@ def reset(board_size: int) -> State:
         color=jnp.asarray(masks["init_color"]),
         links=jnp.zeros((p, p), dtype=jnp.uint8),
         blocked=jnp.zeros((p, p), dtype=jnp.uint8),
+        compid=jnp.asarray(masks["init_compid"]),
         flags=jnp.asarray(masks["init_flags"]),
         legal=jnp.stack(
             [jnp.asarray(masks["legal0"]), jnp.asarray(masks["legal1"])]
@@ -118,11 +128,17 @@ def swap_rotate_action(action, board_size: int):
 
 
 def onehot_board(action, board_size: int) -> jnp.ndarray:
-    """Bool [P,P] mask with True exactly at the action's padded cell."""
+    """Bool [P,P,*B] mask, True exactly at each env's action cell.
+
+    Batch-polymorphic: ``action`` may be a scalar (single env) or carry
+    trailing batch dims — board ops keep the batch on the *minor* axes so
+    the TPU lane dimension is the env batch (see ops/rollout.py).
+    """
     p = padded_size(board_size)
     x, y = action_to_xy(action, board_size)
-    xs = jnp.arange(p, dtype=jnp.int32)[:, None]
-    ys = jnp.arange(p, dtype=jnp.int32)[None, :]
+    bshape = (1,) * jnp.ndim(x)
+    xs = jnp.arange(p, dtype=jnp.int32).reshape((p, 1) + bshape)
+    ys = jnp.arange(p, dtype=jnp.int32).reshape((1, p) + bshape)
     return (xs == x + geo.PAD) & (ys == y + geo.PAD)
 
 
@@ -131,7 +147,13 @@ def legal_mask_flat(state: State, player, board_size: int) -> jnp.ndarray:
 
     Row-major over (x, y) == ascending action id, matching the insertion
     order of the reference's legal-action vectors (twixtboard.cc:260-275).
+    Batch-polymorphic: returns [size*size] or [size*size, *B].
     """
     pad = geo.PAD
-    core = state.legal[player, pad : pad + board_size, pad : pad + board_size]
-    return core.reshape(board_size * board_size)
+    legal = state.legal
+    if jnp.ndim(player) == 0 and not isinstance(player, jnp.ndarray):
+        sel = legal[int(player)]
+    else:
+        sel = jnp.where(jnp.asarray(player) == 0, legal[0], legal[1])
+    core = sel[pad : pad + board_size, pad : pad + board_size]
+    return core.reshape((board_size * board_size,) + core.shape[2:])

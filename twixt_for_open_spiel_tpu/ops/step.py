@@ -6,24 +6,40 @@ TPU-native re-expression of the reference's hot path (SURVEY.md §3c):
 terminal logic of ``TwixTState::DoApplyAction`` (reference twixt.h:93-104).
 
 Design: everything is whole-board elementwise tensor algebra over the padded
-[P, P] arrays —
+[P, P] arrays, with a fixed number of operations per step —
 
   * the action becomes a one-hot board mask;
   * neighbor / crossing-link probes become *static shifts* of whole boards
     (the 8+72 probe offsets are trace-time constants from geometry.CROSSERS),
     replacing the reference's BlockerMap hash probes with masked bit reads;
-  * the recursive border DFS (ExploreLocalGraph) becomes masked flood-fill of
-    the packed border-flag byte under ``lax.while_loop``, iterated to a fixed
-    point (identical result: the reference maintains the invariant that every
-    cell of a linked component carries the component's border flags);
+  * the recursive border DFS (ExploreLocalGraph, twixtboard.cc:573-588)
+    becomes **batched union-find with O(1) merges**: each link component has
+    an id (the action index of one of its pegs) and a flag byte in a
+    [size*size] side table.  Placing a peg merges <= 8 neighbor components
+    by comparing the whole compid board against <= 8 scalars — no
+    data-dependent loop at all.  (A first implementation used masked
+    flood-fill under ``lax.while_loop``; its per-iteration sync made it
+    ~1000x slower than the static program on a v5e chip.)
   * the swap rule is a ``where`` select, no Python branching.
 
-No gathers, no scatters, no data-dependent shapes: ``jit(vmap(step))``
-compiles to fused VPU elementwise work, which is the TPU-native analogue of
-the reference's per-cell C++ loops.
+All operations are batch-polymorphic with TRAILING env batch dims: board
+leaves are [P, P, *B], scalars [*B], reductions run over axes (0, 1) and
+broadcasts align on the trailing axes.  ``step`` is therefore called
+directly on batched state — no ``vmap`` — so the env batch stays the
+minor-most (TPU lane) dimension of every intermediate.  (vmap moves the
+mapped axis to the front internally, which put the 14..30-wide board dim in
+the 128-lane slot and cost ~100x in wasted HBM traffic: 927MB accessed per
+step vs ~9MB of live state at board_size=12, batch=4096.)
 
-``step`` assumes ``action`` is legal for ``state.current_player`` and that the
-state is non-terminal (the reference raises SpielFatalError otherwise,
+Correctness note on the merge: every live component id is the action index
+of a peg currently in that component (ids start as cell indices, merges take
+a min, and pegs are never removed mid-game — the swap undo removes a peg
+that was never linked, whose singleton component dissolves untouched).
+Hence an empty cell's compid can never collide with a live component id,
+and the whole-board remap touches exactly the merged components.
+
+``step`` assumes ``action`` is legal for ``state.current_player`` and that
+the state is non-terminal (the reference raises SpielFatalError otherwise,
 twixt.h:94-97; the host-side OpenSpiel adapter performs that gate, and
 ``rollout.step_auto_reset`` handles terminal states for batched rollouts).
 """
@@ -43,6 +59,7 @@ from twixt_for_open_spiel_tpu.ops.state import (
 )
 
 _U8 = jnp.uint8
+_BIG = jnp.int32(1 << 20)  # sentinel larger than any component id
 
 
 def _shift(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
@@ -92,41 +109,55 @@ def _link_updates(color, links, me, player_i8):
     return new_links, new_blocked
 
 
-def _propagate_flags(flags, links):
-    """Flood border-connectivity flags over the link graph to a fixed point.
+def _merge_components(compid, flags, me, eff, new_links):
+    """Union the <= 8 components newly linked to the placed peg.
 
-    Replaces the recursive DFS ExploreLocalGraph (reference
-    twixtboard.cc:573-588) with iterated masked label propagation: each cell
-    ORs in the flag bytes of its linked neighbors.  The pre-move state is
-    already at fixed point, so only the component merged by the new peg
-    changes; the while_loop converges in component-diameter iterations and is
-    vmap-safe (a batched while_loop runs until every lane converges).
+    No gathers, no scatters, no loops: the per-env scalars (neighbor
+    component ids, merged flag byte) are extracted with one-hot masked
+    whole-board reductions — per-lane dynamic indexing lowers to slow
+    gathers on TPU, while masked reduces stay pure vector code.
+
+    Returns (compid, flags, merged_flags) where ``merged_flags`` is the
+    border-flag byte of the merged component — the exact value the reference
+    reads off the placed cell for the win check (twixtboard.cc:192-199).
     """
+    # Per-env scalar: merged flag byte = own flags (an empty cell still
+    # holds its initial border flags) | flags of every newly linked
+    # neighbor.  Computed in one masked reduction over the peg cell.
+    acc = flags
+    for d in range(geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        has_new = (new_links >> _U8(d)) & _U8(1)
+        acc = acc | jnp.where(has_new != 0, _shift(flags, dx, dy), _U8(0))
+    nf = jnp.max(jnp.where(me, acc, _U8(0)), axis=(0, 1))
 
-    def body(flags):
-        acc = flags
-        for d in range(geo.NUM_DIRS):
-            dx, dy = (int(v) for v in geo.OFFSETS[d])
-            has_link = (links >> _U8(d)) & _U8(1)
-            acc = acc | (jnp.where(has_link != 0, _shift(flags, dx, dy), _U8(0)))
-        return acc
+    # Per-env scalars: the <= 8 neighbor component ids (or -1).
+    neighbor_ids = []
+    compid32 = compid.astype(jnp.int32)
+    for d in range(geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        has_new = ((new_links >> _U8(d)) & _U8(1)) != 0
+        cid_board = jnp.where(
+            me & has_new, _shift(compid32, dx, dy), -1
+        )
+        neighbor_ids.append(jnp.max(cid_board, axis=(0, 1)))
 
-    def cond(carry):
-        flags, changed = carry
-        return changed
+    pos_idx = eff.astype(jnp.int32)  # action index == x*size+y
+    # merged id: smallest peg index across the united components
+    nid = pos_idx
+    for cid in neighbor_ids:
+        nid = jnp.minimum(nid, jnp.where(cid >= 0, cid, _BIG))
 
-    def step_once(carry):
-        flags, _ = carry
-        new = body(flags)
-        return new, jnp.any(new != flags)
-
-    # One unconditional sweep (the new peg always needs its neighbors' flags),
-    # then iterate while anything changed.
-    first = body(flags)
-    flags, _ = jax.lax.while_loop(
-        cond, step_once, (first, jnp.any(first != flags))
-    )
-    return flags
+    # remap the united components to nid and stamp the merged flag byte on
+    # every member (whole-board compare vs <= 8 scalars, one fused pass)
+    hit = me
+    for cid in neighbor_ids:
+        # guard cid >= 0: unlinked dirs carry -1, which must not match the
+        # halo/corner sentinel compid == -1
+        hit = hit | ((compid32 == cid) & (cid >= 0))
+    compid = jnp.where(hit, nid.astype(compid.dtype), compid)
+    flags = jnp.where(hit, nf, flags)
+    return compid, flags, nf
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -151,16 +182,16 @@ def step(state: State, board_size: int, action) -> State:
     is_swap = (mc == 1) & (action == state.move_one)
 
     # --- swap: undo move one (reference UndoFirstMove, twixtboard.cc:450-455).
-    # The single first peg has no links/blocked bits and its border flags are
-    # its initial ones, so clearing its color and restoring the initial legal
-    # masks is a complete undo.
+    # The single first peg has no links/blocked bits, its singleton component
+    # entry still holds its initial border flags, so clearing its color and
+    # restoring the initial legal masks is a complete undo.
     m_one = onehot_board(state.move_one, board_size)
     color = jnp.where(
         is_swap & m_one, jnp.int8(geo.COLOR_EMPTY), state.color
     )
     init_legal = jnp.stack(
         [jnp.asarray(masks["legal0"]), jnp.asarray(masks["legal1"])]
-    )
+    ).reshape((2,) + state.legal.shape[1:3] + (1,) * jnp.ndim(action))
     legal = jnp.where(is_swap, init_legal, state.legal)
 
     # Effective position: rotated on swap (twixtboard.cc:470-473).
@@ -180,9 +211,10 @@ def step(state: State, board_size: int, action) -> State:
     links = state.links | new_links
     blocked = state.blocked | new_blocked
 
-    # --- border connectivity (only needed when links were created, but the
-    # fixed-point sweep is a no-op otherwise and select-free).
-    flags = _propagate_flags(state.flags, links)
+    # --- connectivity: O(1)-merge batched union-find.
+    compid, flags, nf = _merge_components(
+        state.compid, state.flags, me, eff, new_links
+    )
 
     # --- legal-action bookkeeping (twixtboard.cc:485-493): the first move is
     # remembered but stays legal; every later move is removed for both players.
@@ -190,14 +222,13 @@ def step(state: State, board_size: int, action) -> State:
     move_one = jnp.where(mc == 0, eff, state.move_one)
 
     # --- result (UpdateResult, twixtboard.cc:192-207).
-    f_at = jnp.max(jnp.where(me, flags, _U8(0)))
     shift_amt = (player * 2).astype(_U8)
-    connected_start = ((f_at >> shift_amt) & _U8(1)) != 0
-    connected_end = ((f_at >> (shift_amt + _U8(1))) & _U8(1)) != 0
+    connected_start = ((nf >> shift_amt) & _U8(1)) != 0
+    connected_end = ((nf >> (shift_amt + _U8(1))) & _U8(1)) != 0
     win = connected_start & connected_end
     opp = 1 - player
     opp_has_legal = jnp.any(
-        jnp.where(opp == 0, legal[0], legal[1])
+        jnp.where(opp == 0, legal[0], legal[1]), axis=(0, 1)
     )
     result = jnp.where(
         win,
@@ -217,6 +248,7 @@ def step(state: State, board_size: int, action) -> State:
         color=color,
         links=links,
         blocked=blocked,
+        compid=compid,
         flags=flags,
         legal=legal,
         current_player=current_player,
