@@ -29,7 +29,7 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
         batch_reset,
         random_rollout,
     )
-    from twixt_for_open_spiel_tpu.ops.observe import observation
+    from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
 
     state = batch_reset(board_size, batch)
     key = jax.random.PRNGKey(0)
@@ -37,7 +37,7 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
     def run(key, state):
         final, stats = random_rollout(key, board_size, steps, state)
         if with_obs:
-            obs = jax.vmap(observation, (-1, None))(final, board_size)
+            obs = observation_nchw(final, board_size)
             return final, stats, obs
         return final, stats
 

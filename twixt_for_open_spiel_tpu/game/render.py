@@ -53,7 +53,58 @@ def render(
     result: int,
     ansi_color_output: bool = True,
 ) -> str:
-    """Render the board string (reference twixtboard.cc:278-335)."""
+    """Render the board string (reference twixtboard.cc:278-335).
+
+    Dispatches to the native C renderer when available (built lazily from
+    native/render.c); falls back to the pure-Python implementation below.
+    Both are byte-for-byte identical (tests/test_native.py).
+    """
+    out = render_native(color, links, size, swapped, result,
+                        ansi_color_output)
+    if out is not None:
+        return out
+    return render_py(color, links, size, swapped, result, ansi_color_output)
+
+
+def render_native(color, links, size, swapped, result, ansi_color_output):
+    """C renderer via ctypes; returns None if the native lib is unavailable."""
+    from twixt_for_open_spiel_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    import ctypes
+
+    core_color = np.ascontiguousarray(
+        np.asarray(color)[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size],
+        dtype=np.int8,
+    )
+    core_links = np.ascontiguousarray(
+        np.asarray(links)[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size],
+        dtype=np.uint8,
+    )
+    buf = ctypes.create_string_buffer(lib.twixt_render_capacity(size))
+    n = lib.twixt_render(
+        core_color.tobytes(),
+        core_links.tobytes(),
+        size,
+        bool(swapped),
+        int(result),
+        bool(ansi_color_output),
+        buf,
+    )
+    return buf.raw[:n].decode("ascii")
+
+
+def render_py(
+    color,
+    links,
+    size: int,
+    swapped: bool,
+    result: int,
+    ansi_color_output: bool = True,
+) -> str:
+    """Pure-Python reference renderer (reference twixtboard.cc:278-335)."""
     b = _BoardView(color, links, size)
     out = []
 

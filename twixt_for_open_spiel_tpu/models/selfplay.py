@@ -22,7 +22,7 @@ import optax
 
 from twixt_for_open_spiel_tpu.ops import geometry as geo
 from twixt_for_open_spiel_tpu.ops.state import State, legal_mask_flat
-from twixt_for_open_spiel_tpu.ops.observe import observation
+from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
 from twixt_for_open_spiel_tpu.ops.rollout import (
     BATCH_AXIS,
     batch_size,
@@ -78,7 +78,7 @@ def selfplay_chunk(
             board_size=board_size,
             num_simulations=num_simulations,
         )
-        obs = jax.vmap(observation, (BATCH_AXIS, None))(state, board_size)
+        obs = observation_nchw(state, board_size)
         player = jnp.clip(state.current_player, 0, 1)
 
         # temperature sampling over visit counts

@@ -7,6 +7,11 @@ becomes pure bit-unpacking + flips/slices: the coordinate remaps are static
 permutations, so the whole observation is a fused elementwise+transpose XLA
 program with no gather/scatter.
 
+Batch-polymorphic like ops/step.py: board leaves may carry trailing env
+batch dims, giving [12, size, size-2, *B] outputs with the env batch still
+in the TPU lane dimension.  ``observation_nchw`` converts to the
+batch-leading layout the network consumes.
+
 Plane semantics (identical for both observing players):
   plane 0 / 6   peg of that color with NO links (twixt.cc:90-93)
   plane 1+d / 7+d  (d in NNE,ENE,ESE,SSE)  peg has a link in east direction d
@@ -35,14 +40,14 @@ _U8 = jnp.uint8
 
 
 def _red_view(arr: jnp.ndarray, size: int) -> jnp.ndarray:
-    """[P,P] board array -> [size, size-2] red-block tensor coordinates."""
+    """[P,P,*B] board array -> [size, size-2, *B] red-block coords."""
     core = arr[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size]
     # out[r, c] = core[c + 1, size - 1 - r]
-    return jnp.flip(core.T, axis=0)[:, 1 : size - 1]
+    return jnp.flip(jnp.swapaxes(core, 0, 1), axis=0)[:, 1 : size - 1]
 
 
 def _blue_view(arr: jnp.ndarray, size: int) -> jnp.ndarray:
-    """[P,P] board array -> [size, size-2] blue-block tensor coordinates."""
+    """[P,P,*B] board array -> [size, size-2, *B] blue-block coords."""
     core = arr[geo.PAD : geo.PAD + size, geo.PAD : geo.PAD + size]
     # out[r, c] = core[size - 1 - r, size - 2 - c]
     return jnp.flip(core, axis=(0, 1))[:, 1 : size - 1]
@@ -50,7 +55,7 @@ def _blue_view(arr: jnp.ndarray, size: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=1)
 def observation(state: State, board_size: int) -> jnp.ndarray:
-    """float32 [12, size, size-2] observation tensor.
+    """float32 [12, size, size-2, *B] observation tensor.
 
     Identical for both observing players (reference twixt.cc:101-132 emits
     the same planes regardless of ``player``).
@@ -69,3 +74,14 @@ def observation(state: State, board_size: int) -> jnp.ndarray:
             planes.append(is_color & (((links >> _U8(d)) & _U8(1)) != 0))
         planes.append(is_color & ((blocked & _U8(15)) != 0))  # plane 5 / 11
     return jnp.stack(planes).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def observation_nchw(state: State, board_size: int) -> jnp.ndarray:
+    """Batched observation in the network's layout: [B, 12, size, size-2].
+
+    One transpose at the boundary between the lane-batched env world and the
+    batch-leading learner world.
+    """
+    obs = observation(state, board_size)  # [12, n, n-2, B]
+    return jnp.moveaxis(obs, -1, 0)
