@@ -93,3 +93,19 @@ def test_board_masks_counts():
         assert m["legal0"].sum() == n * (n - 2)
         assert m["legal1"].sum() == n * (n - 2)
         assert (m["init_flags"] != 0).sum() == 4 * (n - 2)
+
+
+def test_board_consts_match_numpy_masks():
+    # the jnp (Pallas-safe) constant builder must equal the numpy reference
+    import numpy as np
+
+    from twixt_for_open_spiel_tpu.ops.state import board_consts
+
+    for n in (5, 8, 24):
+        m = geo.board_masks(n)
+        c = board_consts(n)
+        assert np.array_equal(np.asarray(c["legal"][0]), m["legal0"])
+        assert np.array_equal(np.asarray(c["legal"][1]), m["legal1"])
+        assert np.array_equal(np.asarray(c["init_color"]), m["init_color"])
+        assert np.array_equal(np.asarray(c["init_compid"]), m["init_compid"])
+        assert np.array_equal(np.asarray(c["init_flags"]), m["init_flags"])

@@ -83,30 +83,108 @@ def padded_size(board_size: int) -> int:
     return board_size + 2 * geo.PAD
 
 
-def reset(board_size: int) -> State:
+def board_consts(board_size: int, bshape=()):
+    """The per-size constant boards, built from broadcasted_iota in jnp.
+
+    Semantically identical to :func:`geometry.board_masks` (which stays the
+    numpy reference, cross-checked in tests) but expressed as traced ops so
+    the same construction works inside Pallas kernels, where captured array
+    constants are not allowed; under jit XLA constant-folds it all anyway.
+
+    ``bshape`` appends trailing (broadcast) batch dims — everything is built
+    directly at the target rank with broadcasted_iota, because Mosaic cannot
+    reshape/stack to add unit dims.
+
+    Returns dict with [P, P, *bshape] arrays: init_color (i32), init_compid
+    (i32), init_flags (i32) and legal (bool [2, P, P, *bshape]).
+    """
+    import jax
+
+    n = board_size
+    p = padded_size(n)
+
+    def grid(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+    shape = (p, p) + tuple(bshape)
+    xs = grid(shape, 0) - geo.PAD
+    ys = grid(shape, 1) - geo.PAD
+    in_bounds = (xs >= 0) & (xs < n) & (ys >= 0) & (ys < n)
+    x_edge = (xs == 0) | (xs == n - 1)
+    y_edge = (ys == 0) | (ys == n - 1)
+    corner = in_bounds & x_edge & y_edge
+    on_board = in_bounds & ~corner
+
+    # computed entirely in int32/bool — Mosaic v5e has no 8/16-bit vector
+    # ops, so sub-32-bit intermediates must not appear inside kernels;
+    # reset() narrows to the storage dtypes outside the kernel.
+    flags = jnp.zeros(shape, jnp.int32)
+    for cond, player, border in (
+        (xs == 0, geo.BLUE, geo.BORDER_START),
+        (xs == n - 1, geo.BLUE, geo.BORDER_END),
+        (ys == 0, geo.RED, geo.BORDER_START),
+        (ys == n - 1, geo.RED, geo.BORDER_END),
+    ):
+        flags = flags | jnp.where(
+            on_board & cond, geo.flag_bit(player, border), 0
+        )
+
+    # the [2, ...] legal planes, built at rank (no stack: Mosaic again)
+    shape2 = (2,) + shape
+    q = grid(shape2, 0)
+    xs2 = grid(shape2, 1) - geo.PAD
+    ys2 = grid(shape2, 2) - geo.PAD
+    in2 = (xs2 >= 0) & (xs2 < n) & (ys2 >= 0) & (ys2 < n)
+    xe2 = (xs2 == 0) | (xs2 == n - 1)
+    ye2 = (ys2 == 0) | (ys2 == n - 1)
+    on2 = in2 & ~(xe2 & ye2)
+    # pure bool algebra (a select with boolean branches won't lower in
+    # Mosaic): plane 0 forbids the x borders, plane 1 the y borders
+    legal = on2 & ~(((q == 0) & xe2) | ((q == 1) & ye2))
+
+    return {
+        "legal": legal,
+        "init_color": jnp.where(
+            on_board, geo.COLOR_EMPTY, geo.COLOR_OFFBOARD
+        ),
+        "init_compid": jnp.where(on_board, xs * n + ys, -1),
+        "init_flags": flags,
+    }
+
+
+def reset(board_size: int, wide: bool = False, bshape=()) -> State:
     """Start-of-game state (reference Board ctor, twixtboard.cc:168-174).
 
     Pure function of the static board size; the expensive per-cell init loops
     of the reference (InitializeCells / InitializeNeighbors /
     InitializeBlockerMap, twixtboard.cc:209-276) collapse into trace-time
-    numpy constants from :func:`geometry.board_masks`.
+    constant-table construction.
+
+    ``wide=True`` keeps the cell arrays and masks in int32 — the dtype
+    layout used inside the Pallas fused rollout kernel, where 8/16-bit
+    vectors are unsupported.  ``bshape`` appends trailing broadcast batch
+    dims (built at rank; Mosaic cannot reshape to add unit dims).
     """
-    masks = geo.board_masks(board_size)
+    consts = board_consts(board_size, bshape)
     p = padded_size(board_size)
+    bshape = tuple(bshape)
+    cell_dt = jnp.int32 if wide else None
+
+    def scalar(v, dt=jnp.int32):
+        return jnp.full(bshape, v, dt) if bshape else jnp.asarray(v, dt)
+
     return State(
-        color=jnp.asarray(masks["init_color"]),
-        links=jnp.zeros((p, p), dtype=jnp.uint8),
-        blocked=jnp.zeros((p, p), dtype=jnp.uint8),
-        compid=jnp.asarray(masks["init_compid"]),
-        flags=jnp.asarray(masks["init_flags"]),
-        legal=jnp.stack(
-            [jnp.asarray(masks["legal0"]), jnp.asarray(masks["legal1"])]
-        ),
-        current_player=jnp.int32(geo.RED),
-        move_counter=jnp.int32(0),
-        move_one=jnp.int32(-1),
-        swapped=jnp.asarray(False),
-        result=jnp.int32(geo.RESULT_OPEN),
+        color=consts["init_color"].astype(cell_dt or jnp.int8),
+        links=jnp.zeros((p, p) + bshape, dtype=cell_dt or jnp.uint8),
+        blocked=jnp.zeros((p, p) + bshape, dtype=cell_dt or jnp.uint8),
+        compid=consts["init_compid"].astype(cell_dt or jnp.int16),
+        flags=consts["init_flags"].astype(cell_dt or jnp.uint8),
+        legal=consts["legal"].astype(jnp.int32 if wide else bool),
+        current_player=scalar(geo.RED),
+        move_counter=scalar(0),
+        move_one=scalar(-1),
+        swapped=scalar(0) if wide else scalar(False, bool),
+        result=scalar(geo.RESULT_OPEN),
     )
 
 
@@ -134,11 +212,15 @@ def onehot_board(action, board_size: int) -> jnp.ndarray:
     trailing batch dims — board ops keep the batch on the *minor* axes so
     the TPU lane dimension is the env batch (see ops/rollout.py).
     """
+    import jax
+
     p = padded_size(board_size)
     x, y = action_to_xy(action, board_size)
     bshape = (1,) * jnp.ndim(x)
-    xs = jnp.arange(p, dtype=jnp.int32).reshape((p, 1) + bshape)
-    ys = jnp.arange(p, dtype=jnp.int32).reshape((1, p) + bshape)
+    # broadcasted_iota (not 1-D arange) so the same code lowers through
+    # Mosaic inside the Pallas fused rollout kernel
+    xs = jax.lax.broadcasted_iota(jnp.int32, (p, 1) + bshape, 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, p) + bshape, 1)
     return (xs == x + geo.PAD) & (ys == y + geo.PAD)
 
 

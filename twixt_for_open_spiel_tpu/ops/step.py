@@ -59,7 +59,8 @@ from twixt_for_open_spiel_tpu.ops.state import (
 )
 
 _U8 = jnp.uint8
-_BIG = jnp.int32(1 << 20)  # sentinel larger than any component id
+_BIG = 1 << 20  # sentinel larger than any component id (python int: a
+# module-level jnp scalar would be a captured constant inside Pallas)
 
 
 def _shift(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
@@ -67,11 +68,18 @@ def _shift(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
 
     Safe because every use is masked to cells whose shifted source index is
     within the PAD halo (|dx|, |dy| <= PAD), where wrap-around never occurs.
+    Written as concat-of-slices (== jnp.roll for static shifts) so the same
+    code lowers both through XLA and through Mosaic inside the Pallas fused
+    rollout kernel (ops/fused_rollout.py).
     """
-    return jnp.roll(arr, shift=(-dx, -dy), axis=(0, 1))
+    if dx:
+        arr = jnp.concatenate([arr[dx:], arr[:dx]], axis=0)
+    if dy:
+        arr = jnp.concatenate([arr[:, dy:], arr[:, :dy]], axis=1)
+    return arr
 
 
-def _link_updates(color, links, me, player_i8):
+def _link_updates(color, links, me, player_c):
     """New link / blocked-neighbor bits created by placing a peg at ``me``.
 
     Vectorised SetPegAndLinks (reference twixtboard.cc:501-571): for each of
@@ -82,29 +90,37 @@ def _link_updates(color, links, me, player_i8):
     peg so they can never cross each other, making the direction loop
     order-independent — all probes read the pre-move ``links``.
     """
+    # constants follow the array dtypes: the XLA path stores uint8, the
+    # Pallas kernel carries int32 (Mosaic has no 8-bit vectors) — the same
+    # code serves both.
+    lt = links.dtype
+
+    def bit(v):
+        return jnp.asarray(v, lt)
+
     new_links = jnp.zeros_like(links)
     new_blocked = jnp.zeros_like(links)
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
         # Same-color knight-move neighbor (halo/corner cells are OFFBOARD, so
         # the color test subsumes the reference's PositionIsOffBoard check).
-        same = me & (_shift(color, dx, dy) == player_i8)
+        same = me & (_shift(color, dx, dy) == player_c)
         # Any of the 9 crossing links present?  One masked bit probe per
         # crossing link at its canonical east endpoint (links are symmetric).
         crossed = jnp.zeros_like(me)
         for ox, oy, d2 in geo.CROSSERS[d]:
-            bit = (_shift(links, int(ox), int(oy)) >> _U8(int(d2))) & _U8(1)
-            crossed = crossed | (bit != 0)
+            probe = (_shift(links, int(ox), int(oy)) >> int(d2)) & bit(1)
+            crossed = crossed | (probe != 0)
         linked = same & ~crossed
         blocked = same & crossed
         od = geo.opp_dir(d)
-        new_links = new_links | jnp.where(linked, _U8(1 << d), _U8(0))
+        new_links = new_links | jnp.where(linked, bit(1 << d), bit(0))
         new_links = new_links | jnp.where(
-            _shift(linked, -dx, -dy), _U8(1 << od), _U8(0)
+            _shift(linked, -dx, -dy), bit(1 << od), bit(0)
         )
-        new_blocked = new_blocked | jnp.where(blocked, _U8(1 << d), _U8(0))
+        new_blocked = new_blocked | jnp.where(blocked, bit(1 << d), bit(0))
         new_blocked = new_blocked | jnp.where(
-            _shift(blocked, -dx, -dy), _U8(1 << od), _U8(0)
+            _shift(blocked, -dx, -dy), bit(1 << od), bit(0)
         )
     return new_links, new_blocked
 
@@ -124,19 +140,23 @@ def _merge_components(compid, flags, me, eff, new_links):
     # Per-env scalar: merged flag byte = own flags (an empty cell still
     # holds its initial border flags) | flags of every newly linked
     # neighbor.  Computed in one masked reduction over the peg cell.
+    zero_f = jnp.asarray(0, flags.dtype)
     acc = flags
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
-        has_new = (new_links >> _U8(d)) & _U8(1)
-        acc = acc | jnp.where(has_new != 0, _shift(flags, dx, dy), _U8(0))
-    nf = jnp.max(jnp.where(me, acc, _U8(0)), axis=(0, 1))
+        has_new = (new_links >> int(d)) & 1
+        acc = acc | jnp.where(has_new != 0, _shift(flags, dx, dy), zero_f)
+    # reduce in int32 (Mosaic has no unsigned reductions), back to flags dtype
+    nf = jnp.max(
+        jnp.where(me, acc.astype(jnp.int32), 0), axis=(0, 1)
+    ).astype(flags.dtype)
 
     # Per-env scalars: the <= 8 neighbor component ids (or -1).
     neighbor_ids = []
     compid32 = compid.astype(jnp.int32)
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
-        has_new = ((new_links >> _U8(d)) & _U8(1)) != 0
+        has_new = ((new_links >> int(d)) & 1) != 0
         cid_board = jnp.where(
             me & has_new, _shift(compid32, dx, dy), -1
         )
@@ -160,8 +180,7 @@ def _merge_components(compid, flags, me, eff, new_links):
     return compid, flags, nf
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def step(state: State, board_size: int, action) -> State:
+def step_impl(state: State, board_size: int, action) -> State:
     """Apply ``action`` for ``state.current_player``; returns the next state.
 
     Mirrors Board::ApplyAction + TwixTState::DoApplyAction exactly
@@ -173,9 +192,8 @@ def step(state: State, board_size: int, action) -> State:
       * win = placed peg connected to both of the mover's borders, draw = the
         opponent to move has no legal action left (twixtboard.cc:192-207).
     """
-    masks = geo.board_masks(board_size)
     player = state.current_player
-    player_i8 = player.astype(jnp.int8)
+    player_c = player.astype(state.color.dtype)
     mc = state.move_counter
     action = jnp.asarray(action, dtype=jnp.int32)
 
@@ -187,12 +205,15 @@ def step(state: State, board_size: int, action) -> State:
     # restoring the initial legal masks is a complete undo.
     m_one = onehot_board(state.move_one, board_size)
     color = jnp.where(
-        is_swap & m_one, jnp.int8(geo.COLOR_EMPTY), state.color
+        is_swap & m_one,
+        jnp.asarray(geo.COLOR_EMPTY, state.color.dtype),
+        state.color,
     )
-    init_legal = jnp.stack(
-        [jnp.asarray(masks["legal0"]), jnp.asarray(masks["legal1"])]
-    ).reshape((2,) + state.legal.shape[1:3] + (1,) * jnp.ndim(action))
-    legal = jnp.where(is_swap, init_legal, state.legal)
+    # NOTE: the reference's UndoFirstMove re-initialises the legal lists
+    # (twixtboard.cc:454), but at move 2 nothing has been removed from them
+    # yet (move one deliberately stays legal, twixtboard.cc:485-489), so the
+    # "restore" is a provable no-op and is omitted here.
+    legal = state.legal
 
     # Effective position: rotated on swap (twixtboard.cc:470-473).
     eff = jnp.where(
@@ -206,8 +227,8 @@ def step(state: State, board_size: int, action) -> State:
     legal = legal & ~rm_one[None]
 
     # --- place peg, create links / blocked bits.
-    color = jnp.where(me, player_i8, color)
-    new_links, new_blocked = _link_updates(color, state.links, me, player_i8)
+    color = jnp.where(me, player_c, color)
+    new_links, new_blocked = _link_updates(color, state.links, me, player_c)
     links = state.links | new_links
     blocked = state.blocked | new_blocked
 
@@ -222,14 +243,17 @@ def step(state: State, board_size: int, action) -> State:
     move_one = jnp.where(mc == 0, eff, state.move_one)
 
     # --- result (UpdateResult, twixtboard.cc:192-207).
-    shift_amt = (player * 2).astype(_U8)
-    connected_start = ((nf >> shift_amt) & _U8(1)) != 0
-    connected_end = ((nf >> (shift_amt + _U8(1))) & _U8(1)) != 0
+    shift_amt = player * 2
+    nf32 = nf.astype(jnp.int32)
+    connected_start = ((nf32 >> shift_amt) & 1) != 0
+    connected_end = ((nf32 >> (shift_amt + 1)) & 1) != 0
     win = connected_start & connected_end
     opp = 1 - player
-    opp_has_legal = jnp.any(
-        jnp.where(opp == 0, legal[0], legal[1]), axis=(0, 1)
-    )
+    # max()!=0 instead of any(): works for both the bool legal masks of the
+    # XLA path and the int32 masks inside the Pallas kernel, and avoids
+    # boolean select branches, which Mosaic cannot lower.
+    opp_legal = jnp.where(opp == 0, legal[0], legal[1])
+    opp_has_legal = jnp.max(opp_legal.astype(jnp.int32), axis=(0, 1)) != 0
     result = jnp.where(
         win,
         jnp.int32(geo.RESULT_RED_WIN) + player,
@@ -257,6 +281,11 @@ def step(state: State, board_size: int, action) -> State:
         swapped=state.swapped | is_swap,
         result=result,
     )
+
+
+# jitted public entry point; ``step_impl`` is the raw traceable function,
+# reused verbatim inside the Pallas fused rollout kernel.
+step = functools.partial(jax.jit, static_argnums=1)(step_impl)
 
 
 def returns(state: State) -> jnp.ndarray:
