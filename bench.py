@@ -42,14 +42,22 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
         return final, stats
 
     run_j = jax.jit(run)
+
+    def readback(o):
+        # block_until_ready is unreliable under the axon tunnel; force a
+        # real device->host readback of a dependent scalar instead.
+        import numpy as np
+
+        return np.asarray(o[1]["episodes"]).ravel()[0]
+
     # compile + warm up
     out = run_j(key, state)
-    jax.block_until_ready(out)
+    readback(out)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         out = run_j(jax.random.fold_in(key, i), state)
-    jax.block_until_ready(out)
+    readback(out)
     dt = time.perf_counter() - t0
     env_steps = batch * steps * reps
     rate = env_steps / dt

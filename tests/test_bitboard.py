@@ -1,0 +1,139 @@
+"""Bitboard engine equivalence: ops/bitboard.py vs the canonical engine.
+
+The canonical tensor engine (ops/step.py) is the oracle-tested reference;
+the bitboard engine must match it bit-for-bit on every state field after
+every move of randomized full games (including swap), and its sampler must
+only ever produce legal actions, uniformly.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from twixt_for_open_spiel_tpu.ops import geometry as geo
+from twixt_for_open_spiel_tpu.ops.bitboard import (
+    BitState,
+    bit_random_rollout,
+    bit_reset,
+    bit_step_auto_reset,
+    from_state,
+    sample_bits,
+    step_bits,
+    to_state,
+)
+from twixt_for_open_spiel_tpu.ops.rollout import batch_reset
+from twixt_for_open_spiel_tpu.ops.state import legal_mask_flat, reset
+from twixt_for_open_spiel_tpu.ops.step import step
+
+
+def assert_states_equal(a, b, msg=""):
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=f"{msg} field={name}"
+        )
+
+
+@pytest.mark.parametrize("n", [5, 8, 12])
+def test_pack_unpack_roundtrip(n):
+    s = reset(n)
+    assert_states_equal(to_state(from_state(s), n), s)
+
+
+@pytest.mark.parametrize("n", [5, 8])
+def test_random_games_match_canonical(n):
+    step_j = jax.jit(step, static_argnums=1)
+    bstep_j = jax.jit(step_bits, static_argnums=1)
+    rng = random.Random(42 + n)
+    for gi in range(4):
+        s = reset(n)
+        bs = from_state(s)
+        swap_done = False
+        while int(s.result) == geo.RESULT_OPEN:
+            p = int(s.current_player)
+            mask = np.asarray(legal_mask_flat(s, p, n))
+            la = [int(a) for a in np.nonzero(mask)[0]]
+            if int(s.move_counter) == 1 and gi == 0 and not swap_done:
+                a = int(s.move_one)  # force the swap branch once
+                swap_done = True
+            else:
+                a = rng.choice(la)
+            s = step_j(s, n, a)
+            bs = bstep_j(bs, n, a)
+            assert_states_equal(to_state(bs, n), s, msg=f"game {gi} act {a}")
+
+
+def test_batched_step_matches_canonical():
+    n, b = 5, 64
+    s = batch_reset(n, b)
+    bs = from_state(s)
+    rng = np.random.RandomState(7)
+    step_j = jax.jit(step, static_argnums=1)
+    bstep_j = jax.jit(step_bits, static_argnums=1)
+    for i in range(12):
+        actions = []
+        for e in range(b):
+            p = int(s.current_player[e])
+            mask = np.asarray(
+                legal_mask_flat(
+                    jax.tree_util.tree_map(lambda x: x[..., e], s), p, n
+                )
+            )
+            actions.append(rng.choice(np.nonzero(mask)[0]))
+        acts = jnp.asarray(np.array(actions, np.int32))
+        s = step_j(s, n, acts)
+        bs = bstep_j(bs, n, acts)
+        assert_states_equal(to_state(bs, n), s, msg=f"lockstep {i}")
+        # stop before any env terminates (12 moves < min win length on 5x5
+        # is not guaranteed; bail out if any env ended)
+        if np.any(np.asarray(s.result) != geo.RESULT_OPEN):
+            break
+
+
+def test_sample_bits_legal_and_uniform():
+    n, b = 5, 4096
+    bs = bit_reset(n, b)
+    noise = jnp.arange(b, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    acts = np.asarray(sample_bits(bs, n, noise))
+    mask = np.asarray(legal_mask_flat(reset(n), 0, n))
+    legal_ids = np.nonzero(mask)[0]
+    assert set(acts) <= set(legal_ids.tolist())
+    # roughly uniform over the 15 initial legal cells of red on 5x5
+    counts = np.bincount(acts, minlength=n * n)[legal_ids]
+    expected = b / len(legal_ids)
+    assert counts.min() > 0.5 * expected
+    assert counts.max() < 1.7 * expected
+
+
+def test_bit_rollout_completes_episodes():
+    n, b, steps = 5, 64, 64
+    bs = bit_reset(n, b)
+    final, stats = bit_random_rollout(123, n, steps, bs)
+    episodes = int(stats["episodes"])
+    results = np.asarray(stats["results"])
+    assert episodes > 0
+    assert results[geo.RESULT_OPEN] == 0
+    assert results[1:].sum() == episodes
+    assert not np.any(np.asarray(final.result) != geo.RESULT_OPEN)
+
+
+def test_bit_rollout_states_stay_valid():
+    # after a rollout, every live env's state must unpack to a state that the
+    # canonical engine accepts and whose invariants hold
+    n, b, steps = 5, 32, 40
+    final, _ = bit_random_rollout(9, n, steps, bit_reset(n, b))
+    s = to_state(final, n)
+    colors = np.asarray(s.color)
+    assert set(np.unique(colors)) <= {
+        geo.COLOR_RED, geo.COLOR_BLUE, geo.COLOR_EMPTY, geo.COLOR_OFFBOARD
+    }
+    # links are symmetric: bit d at (x,y) implies bit opp(d) at neighbor
+    links = np.asarray(s.links)
+    for d in range(8):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        has = (links >> d) & 1
+        partner = (links >> geo.opp_dir(d)) & 1
+        rolled = np.roll(np.roll(partner, -dx, axis=0), -dy, axis=1)
+        np.testing.assert_array_equal(has, has & rolled)

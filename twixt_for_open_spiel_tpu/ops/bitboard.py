@@ -1,0 +1,476 @@
+"""Bitboard engine: the step/rollout hot path on bit-packed boards.
+
+Semantically identical to ops/step.py (the canonical tensor engine, which
+stays the parity/oracle-tested reference), but with every board-shaped
+bool/bitmask field packed into uint32 *bitplanes*: ``plane[x]`` is a word
+whose bit ``y`` is cell ``(x, y)`` of the padded board (P = size + 2*PAD
+<= 30 bits, so one word per column).  Arrays are [P, *B] instead of
+[P, P, *B] — the env batch stays in the TPU lane dimension and every
+whole-board probe of the link-placement rule (8 same-color neighbor tests +
+8x9 crossing-link probes, reference twixtboard.cc:501-571) processes P words
+per env instead of P*P bytes: ~6x fewer VPU lane-elements and HBM bytes per
+pass on the headline board size.
+
+What stays unpacked: the union-find component board ``compid`` ([P, P, *B]
+int16, exactly as in ops/step.py) — component ids are 10-bit values, and
+bit-slicing them would triple the compare cost of the O(1) merge.
+
+Action sampling replaces the f32 Gumbel-max over [A, *B] with exact
+popcount-rank selection on the legal bitplane: draw k uniform in
+[0, popcount), walk the column cumsum, then binary-search the k-th set bit —
+a handful of [P, *B]/[*B] integer ops, no transcendentals, no f32 boards.
+RNG is the same counter-based SplitMix hash as ops/fused_rollout.py.
+
+Equivalence with the canonical engine is pinned by tests/test_bitboard.py:
+random games stepped through both engines must match bit-for-bit on every
+field after every move, and rollouts must sample only legal actions.
+
+Reference semantics covered (same lines as ops/step.py): swap rule
+twixtboard.cc:450-499, SetPegAndLinks twixtboard.cc:501-571, win/draw
+twixtboard.cc:192-207, turn logic twixt.h:93-104.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from twixt_for_open_spiel_tpu.ops import geometry as geo
+from twixt_for_open_spiel_tpu.ops.state import (
+    State,
+    onehot_board,
+    padded_size,
+    reset,
+    swap_rotate_action,
+)
+
+_U32 = jnp.uint32
+_BIG = 1 << 20
+
+
+class BitState(NamedTuple):
+    """Bit-packed TwixT state; same semantics as ops/state.State.
+
+    Bitplanes are uint32 [P, *B], bit y of word [x] = cell (x, y):
+      red, blue      peg of that color
+      links          [8, P, *B]  link present in compass dir d (symmetric)
+      blocked        [8, P, *B]  blocked same-color neighbor in dir d
+      legal          [2, P, *B]  per-player legal-action masks
+      flags          [4, P, *B]  border-connectivity bit (player*2+border)
+                     of the cell's component (pegs) / initial border flags
+                     (empty border cells) — bit-sliced Cell::linked_to_border_
+    Unpacked:
+      compid         int16 [P, P, *B] as in ops/state.State
+      current_player / move_counter / move_one / swapped / result: [*B]
+    """
+
+    red: jnp.ndarray
+    blue: jnp.ndarray
+    links: jnp.ndarray
+    blocked: jnp.ndarray
+    legal: jnp.ndarray
+    flags: jnp.ndarray
+    compid: jnp.ndarray
+    current_player: jnp.ndarray
+    move_counter: jnp.ndarray
+    move_one: jnp.ndarray
+    swapped: jnp.ndarray
+    result: jnp.ndarray
+
+
+def _pack_bool(board: jnp.ndarray) -> jnp.ndarray:
+    """[P, P, *B] bool -> [P, *B] u32 bitplane (bit y = board[x, y])."""
+    p = board.shape[1]
+    ybits = _U32(1) << jnp.arange(p, dtype=_U32).reshape(
+        (p,) + (1,) * (board.ndim - 2)
+    )
+    return jnp.sum(jnp.where(board, ybits, _U32(0)), axis=1, dtype=_U32)
+
+
+def _unpack_bool(plane: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[P, *B] u32 -> [P, P, *B] bool."""
+    ys = jnp.arange(p, dtype=_U32).reshape((1, p) + (1,) * (plane.ndim - 1))
+    return ((plane[:, None] >> ys) & _U32(1)) != 0
+
+
+def from_state(state: State) -> BitState:
+    """Pack a canonical State into bitplanes (conversion, not hot)."""
+    color = state.color
+    red = _pack_bool(color == jnp.asarray(geo.COLOR_RED, color.dtype))
+    blue = _pack_bool(color == jnp.asarray(geo.COLOR_BLUE, color.dtype))
+    links = jnp.stack(
+        [_pack_bool(((state.links >> d) & 1) != 0) for d in range(8)]
+    )
+    blocked = jnp.stack(
+        [_pack_bool(((state.blocked >> d) & 1) != 0) for d in range(8)]
+    )
+    legal = jnp.stack([_pack_bool(state.legal[0]), _pack_bool(state.legal[1])])
+    flags = jnp.stack(
+        [_pack_bool(((state.flags >> b) & 1) != 0) for b in range(4)]
+    )
+    return BitState(
+        red=red,
+        blue=blue,
+        links=links,
+        blocked=blocked,
+        legal=legal,
+        flags=flags,
+        compid=state.compid,
+        current_player=state.current_player,
+        move_counter=state.move_counter,
+        move_one=state.move_one,
+        swapped=state.swapped,
+        result=state.result,
+    )
+
+
+def to_state(bs: BitState, board_size: int) -> State:
+    """Unpack back to the canonical State (for obs/rendering/parity)."""
+    p = padded_size(board_size)
+    red = _unpack_bool(bs.red, p)
+    blue = _unpack_bool(bs.blue, p)
+    # halo/corner OFFBOARD reconstruction from the constant masks
+    consts = reset(board_size)
+    on_board = consts.color != geo.COLOR_OFFBOARD
+    on_board = jnp.broadcast_to(
+        on_board.reshape(on_board.shape + (1,) * (red.ndim - 2)), red.shape
+    )
+    color = jnp.where(
+        red,
+        jnp.int8(geo.COLOR_RED),
+        jnp.where(
+            blue,
+            jnp.int8(geo.COLOR_BLUE),
+            jnp.where(
+                on_board,
+                jnp.int8(geo.COLOR_EMPTY),
+                jnp.int8(geo.COLOR_OFFBOARD),
+            ),
+        ),
+    )
+
+    def unpack_bits(planes):
+        acc = jnp.zeros(color.shape, jnp.uint8)
+        for d in range(planes.shape[0]):
+            acc = acc | jnp.where(
+                _unpack_bool(planes[d], p), jnp.uint8(1 << d), jnp.uint8(0)
+            )
+        return acc
+
+    return State(
+        color=color,
+        links=unpack_bits(bs.links),
+        blocked=unpack_bits(bs.blocked),
+        compid=bs.compid,
+        flags=unpack_bits(bs.flags),
+        legal=jnp.stack([_unpack_bool(bs.legal[0], p),
+                         _unpack_bool(bs.legal[1], p)]),
+        current_player=bs.current_player,
+        move_counter=bs.move_counter,
+        move_one=bs.move_one,
+        swapped=bs.swapped,
+        result=bs.result,
+    )
+
+
+def bit_reset(board_size: int, batch=None) -> BitState:
+    """Initial BitState; ``batch`` appends a trailing env axis."""
+    s = reset(board_size)
+    if batch is not None:
+        s = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[..., None], x.shape + (batch,)), s
+        )
+    return from_state(s)
+
+
+def _shiftp(plane: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """out[x] bit y = plane[x + dx] bit (y + dy); zero-fill (halo is empty)."""
+    if dx:
+        plane = jnp.concatenate([plane[dx:], plane[:dx]], axis=0)
+    if dy > 0:
+        plane = plane >> _U32(dy)
+    elif dy < 0:
+        plane = plane << _U32(-dy)
+    return plane
+
+
+def _onehot_bits(action, board_size: int) -> jnp.ndarray:
+    """u32 [P, *B] bitplane with exactly the action's cell bit set."""
+    p = padded_size(board_size)
+    x = action // board_size + geo.PAD
+    y = action % board_size + geo.PAD
+    bshape = (1,) * jnp.ndim(x)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (p,) + bshape, 0)
+    word = _U32(1) << y.astype(_U32)
+    return jnp.where(xs == x, word, _U32(0))
+
+
+def _any_bits(plane: jnp.ndarray) -> jnp.ndarray:
+    """[P, *B] -> [*B] bool: any bit set (or-reduce via max of u32)."""
+    return jnp.max(plane, axis=0) != 0
+
+
+def step_bits(bs: BitState, board_size: int, action) -> BitState:
+    """Bit-packed equivalent of ops/step.step_impl (same reference lines)."""
+    player = bs.current_player
+    mc = bs.move_counter
+    action = jnp.asarray(action, jnp.int32)
+
+    is_swap = (mc == 1) & (action == bs.move_one)
+
+    # swap undo (twixtboard.cc:450-455): clear move-one's peg (it has no
+    # links/blocked bits and a still-initial singleton component)
+    m_one = _onehot_bits(bs.move_one, board_size)
+    undo = jnp.where(is_swap, m_one, _U32(0))
+    red = bs.red & ~undo
+    blue = bs.blue & ~undo
+
+    eff = jnp.where(is_swap, swap_rotate_action(action, board_size), action)
+    me = _onehot_bits(eff, board_size)
+
+    # move 2 without swap: move one finally leaves both legal sets
+    # (twixtboard.cc:475-480)
+    rm1 = jnp.where((mc == 1) & ~is_swap, m_one, _U32(0))
+    legal = bs.legal & ~rm1[None]
+
+    # place the peg
+    is_red = player == 0
+    red = jnp.where(is_red, red | me, red)
+    blue = jnp.where(is_red, blue, blue | me)
+    mine = jnp.where(is_red, red, blue)
+
+    # --- links / blocked (SetPegAndLinks, twixtboard.cc:501-571): all 8
+    # directions read the pre-move links (the 8 candidates share the new peg
+    # and cannot cross each other).
+    links = list(bs.links)
+    blocked = list(bs.blocked)
+    nl_board = []  # per-dir one-hot of a NEW link at me
+    for d in range(geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        same = me & _shiftp(mine, dx, dy)
+        cross = jnp.zeros_like(me)
+        for ox, oy, d2 in geo.CROSSERS[d]:
+            cross = cross | _shiftp(bs.links[int(d2)], int(ox), int(oy))
+        linked = same & ~cross
+        blkd = same & cross
+        od = geo.opp_dir(d)
+        links[d] = links[d] | linked
+        links[od] = links[od] | _shiftp(linked, -dx, -dy)
+        blocked[d] = blocked[d] | blkd
+        blocked[od] = blocked[od] | _shiftp(blkd, -dx, -dy)
+        nl_board.append(linked)
+    links = jnp.stack(links)
+    blocked = jnp.stack(blocked)
+
+    # --- union-find merge (ExploreLocalGraph equivalent; see ops/step.py).
+    # merged flag byte: own cell's flags | flags of each newly linked
+    # neighbor, via masked or-reduces on the flag bitplanes.
+    nb_mask = me
+    for d in range(geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        nb_mask = nb_mask | _shiftp(nl_board[d], -dx, -dy)
+    nf = jnp.zeros(player.shape, jnp.int32)
+    for b in range(4):
+        nf = nf | jnp.where(
+            _any_bits(bs.flags[b] & nb_mask), jnp.int32(1 << b), 0
+        )
+
+    # neighbor component ids: masked whole-board reduces on the unpacked
+    # compid (ids are 10-bit; bit-slicing would triple the compare cost)
+    me_board = onehot_board(eff, board_size)
+    compid32 = bs.compid.astype(jnp.int32)
+    nl_any = [_any_bits(nl) for nl in nl_board]
+    nid = eff
+    cids = []
+    for d in range(geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        cid_board = jnp.where(
+            me_board & nl_any[d], _shift_board(compid32, dx, dy), -1
+        )
+        cid = jnp.max(cid_board, axis=(0, 1))
+        cids.append(cid)
+        nid = jnp.minimum(nid, jnp.where(cid >= 0, cid, _BIG))
+
+    hit = me_board
+    for cid in cids:
+        hit = hit | ((compid32 == cid) & (cid >= 0))
+    compid = jnp.where(hit, nid.astype(bs.compid.dtype), bs.compid)
+
+    # stamp the merged flag byte on the whole united component: pack the hit
+    # board into a bitplane once, then or it into the set flag bits
+    hit_bits = _pack_bool(hit)
+    flags = jnp.stack(
+        [
+            jnp.where(
+                ((nf >> b) & 1) != 0, bs.flags[b] | hit_bits, bs.flags[b]
+            )
+            for b in range(4)
+        ]
+    )
+
+    # --- legal bookkeeping: move one stays legal for one ply
+    # (twixtboard.cc:485-493)
+    rm = jnp.where(mc == 0, _U32(0), me)
+    legal = legal & ~rm[None]
+    move_one = jnp.where(mc == 0, eff, bs.move_one)
+
+    # --- result (UpdateResult, twixtboard.cc:192-207)
+    shift_amt = player * 2
+    win = ((nf >> shift_amt) & 1 != 0) & ((nf >> (shift_amt + 1)) & 1 != 0)
+    opp = 1 - player
+    opp_legal = jnp.where(opp == 0, legal[0], legal[1])
+    opp_has_legal = _any_bits(opp_legal)
+    result = jnp.where(
+        win,
+        jnp.int32(geo.RESULT_RED_WIN) + player,
+        jnp.where(
+            opp_has_legal,
+            jnp.int32(geo.RESULT_OPEN),
+            jnp.int32(geo.RESULT_DRAW),
+        ),
+    )
+    current_player = jnp.where(
+        result == geo.RESULT_OPEN, opp, jnp.int32(geo.TERMINAL_PLAYER_ID)
+    )
+
+    return BitState(
+        red=red,
+        blue=blue,
+        links=links,
+        blocked=blocked,
+        legal=legal,
+        flags=flags,
+        compid=compid,
+        current_player=current_player,
+        move_counter=mc + 1,
+        move_one=move_one,
+        swapped=bs.swapped | is_swap,
+        result=result,
+    )
+
+
+def _shift_board(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """Static whole-board shift on [P, P, *B] (as ops/step._shift)."""
+    if dx:
+        arr = jnp.concatenate([arr[dx:], arr[:dx]], axis=0)
+    if dy:
+        arr = jnp.concatenate([arr[:, dy:], arr[:, :dy]], axis=1)
+    return arr
+
+
+# --- sampling: exact popcount-rank selection on the legal bitplane ---------
+
+
+def _hash_u32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x ^ (x >> _U32(16))
+    x = x * _U32(0x7FEB352D)
+    x = x ^ (x >> _U32(15))
+    x = x * _U32(0x846CA68B)
+    x = x ^ (x >> _U32(16))
+    return x
+
+
+def _select_kth_bit(w: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Position of the (k+1)-th lowest set bit of u32 ``w`` (vectorised)."""
+    pos = jnp.zeros_like(k)
+    kk = k
+    for width in (16, 8, 4, 2, 1):
+        mask = _U32((1 << width) - 1)
+        low = (w >> pos.astype(_U32)) & mask
+        cnt = jax.lax.population_count(low).astype(jnp.int32)
+        go_high = kk >= cnt
+        kk = jnp.where(go_high, kk - cnt, kk)
+        pos = jnp.where(go_high, pos + width, pos)
+    return pos
+
+
+def sample_bits(bs: BitState, board_size: int, noise) -> jnp.ndarray:
+    """Uniform random legal action per env (int32 [*B]).
+
+    Exact rank selection: k ~ U[0, popcount(legal)), then the k-th set bit in
+    ascending (x, y) == ascending action-id order.  ``noise`` is a u32 [*B]
+    counter/hash value (varies per step); sampling is deterministic in it.
+    """
+    p = jnp.clip(bs.current_player, 0, 1)
+    legal = jnp.where(p == 0, bs.legal[0], bs.legal[1])  # [P, *B]
+    cnt = jax.lax.population_count(legal).astype(jnp.int32)  # per column
+    cum = jnp.cumsum(cnt, axis=0)  # [P, *B]
+    total = cum[-1]  # [*B]
+
+    bits = _hash_u32(noise)
+    u = (bits >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / 16777216.0
+    )
+    k = jnp.minimum(
+        (u * total.astype(jnp.float32)).astype(jnp.int32), total - 1
+    )
+    k = jnp.maximum(k, 0)
+
+    # column = first row where cum > k; k_in_col = k - cum[prev]
+    cum_prev = cum - cnt
+    sel = (cum > k) & (cum_prev <= k)  # one-hot over columns
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, legal.shape, 0
+    )
+    col = jnp.min(jnp.where(sel, xs, _BIG), axis=0)
+    word = jnp.max(jnp.where(sel, legal, _U32(0)), axis=0)
+    k_in_col = k - jnp.max(jnp.where(sel, cum_prev, 0), axis=0)
+    y = _select_kth_bit(word, k_in_col)
+    return (col - geo.PAD) * board_size + (y - geo.PAD)
+
+
+# --- rollout driver ---------------------------------------------------------
+
+
+def bit_step_auto_reset(bs: BitState, action, board_size: int):
+    """step_bits(); terminal next-states are replaced by fresh initial states."""
+    nxt = step_bits(bs, board_size, action)
+    done = nxt.result != geo.RESULT_OPEN
+    init = bit_reset(board_size)
+    nxt_or_init = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            done, a.reshape(a.shape + (1,) * (b.ndim - a.ndim)), b
+        ),
+        init,
+        nxt,
+    )
+    return nxt_or_init, done, nxt.result
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bit_random_rollout(seed, board_size: int, num_steps: int, bs: BitState):
+    """Lockstep random rollout on the bitboard engine (cf. ops/rollout.py).
+
+    ``seed`` is a u32/int scalar; per-(step, env) randomness comes from the
+    counter-based hash, bit-identical on TPU and CPU.
+    """
+    batch_shape = bs.current_player.shape
+    nenv = 1
+    for d in batch_shape:
+        nenv *= int(d)
+    env = jnp.arange(nenv, dtype=_U32).reshape(batch_shape or ())
+    seed = jnp.asarray(seed, _U32)
+
+    def body(i, carry):
+        bs, episodes, results = carry
+        noise = _hash_u32(
+            seed + _U32(2654435761) * (i.astype(_U32) + _U32(1))
+        ) + env * _U32(0x9E3779B9)
+        actions = sample_bits(bs, board_size, noise)
+        nxt, done, result = bit_step_auto_reset(bs, actions, board_size)
+        episodes = episodes + jnp.sum(done, dtype=jnp.int32)
+        results = results + jnp.stack(
+            [
+                jnp.sum(done & (result == r), dtype=jnp.int32)
+                for r in range(4)
+            ]
+        )
+        return nxt, episodes, results
+
+    bs, episodes, results = jax.lax.fori_loop(
+        0, num_steps, body, (bs, jnp.int32(0), jnp.zeros((4,), jnp.int32))
+    )
+    return bs, {"episodes": episodes, "results": results}
