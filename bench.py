@@ -6,6 +6,11 @@ batch 4096 lockstep envs (config 3), with secondary configs 2 (5x5 batch
 256) and 4 (24x24 batch 8192 + observation-tensor emission for the learner
 feed).
 
+The measured path is the production bitboard engine (ops/bitboard.py):
+u32 bitplane boards + popcount-rank sampling, bit-exact-equivalent to the
+canonical tensor engine (pinned by tests/test_bitboard.py), ~6x faster on a
+v5e chip.
+
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
 
@@ -21,23 +26,23 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 
-def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
-    from twixt_for_open_spiel_tpu.ops.rollout import (
-        batch_reset,
-        random_rollout,
+def bench_rollout(board_size, batch, steps, with_obs=False):
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        bit_random_rollout,
+        bit_reset,
+        to_state,
     )
     from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
 
-    state = batch_reset(board_size, batch)
-    key = jax.random.PRNGKey(0)
+    state = bit_reset(board_size, batch)
 
-    def run(key, state):
-        final, stats = random_rollout(key, board_size, steps, state)
+    def run(seed, state):
+        final, stats = bit_random_rollout(seed, board_size, steps, state)
         if with_obs:
-            obs = observation_nchw(final, board_size)
+            obs = observation_nchw(to_state(final, board_size), board_size)
             return final, stats, obs
         return final, stats
 
@@ -46,17 +51,15 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
     def readback(o):
         # block_until_ready is unreliable under the axon tunnel; force a
         # real device->host readback of a dependent scalar instead.
-        import numpy as np
-
         return np.asarray(o[1]["episodes"]).ravel()[0]
 
     # compile + warm up
-    out = run_j(key, state)
+    out = run_j(0, state)
     readback(out)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        out = run_j(jax.random.fold_in(key, i), state)
+        out = run_j(i + 1, state)
     readback(out)
     dt = time.perf_counter() - t0
     env_steps = batch * steps * reps
@@ -74,7 +77,7 @@ def bench_rollout(board_size, batch, steps, with_obs=False, warmup=True):
 def main():
     backend = jax.default_backend()
     print(f"[bench] backend={backend} devices={jax.devices()}", file=sys.stderr)
-    steps = 200 if backend in ("tpu", "axon") else 20
+    steps = 1000 if backend in ("tpu", "axon") else 20
 
     # config 2: minimal board
     bench_rollout(5, 256, steps)

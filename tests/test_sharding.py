@@ -82,3 +82,29 @@ def test_sharded_rollout_matches_unsharded_episode_accounting():
         r = np.asarray(stats["results"])
         assert r[geo.RESULT_OPEN] == 0
         assert int(stats["episodes"]) == r.sum()
+
+
+def test_sharded_bit_rollout_runs_and_reduces():
+    from twixt_for_open_spiel_tpu.parallel import (
+        make_sharded_bit_rollout,
+        sharded_bit_reset,
+    )
+
+    n, b, steps = 5, 64, 32
+    rollout, mesh = make_sharded_bit_rollout(n, steps)
+    state = sharded_bit_reset(n, b, mesh)
+    final, stats = rollout(7, state)
+    episodes = int(stats["episodes"])
+    results = np.asarray(stats["results"])
+    assert episodes > 0
+    assert results[geo.RESULT_OPEN] == 0
+    assert results.sum() == episodes
+    # bitplane state stays sharded over the env axis
+    shard_sizes = {s.data.shape[-1] for s in final.red.addressable_shards}
+    assert shard_sizes == {b // 8}
+    # per-shard RNG streams must differ: shards can't all have identical
+    # episode outcomes by coincidence at 8 shards x 8 envs
+    reds = {
+        np.asarray(s.data).tobytes() for s in final.red.addressable_shards
+    }
+    assert len(reds) > 1

@@ -6,8 +6,10 @@ from twixt_for_open_spiel_tpu.parallel.mesh import (
     shard_env_pytree,
 )
 from twixt_for_open_spiel_tpu.parallel.envsharding import (
+    make_sharded_bit_rollout,
     make_sharded_rollout,
     sharded_batch_reset,
+    sharded_bit_reset,
 )
 from twixt_for_open_spiel_tpu.parallel.learner_feed import (
     make_distributed_selfplay,
@@ -20,8 +22,10 @@ __all__ = [
     "make_env_mesh",
     "replicated",
     "shard_env_pytree",
+    "make_sharded_bit_rollout",
     "make_sharded_rollout",
     "sharded_batch_reset",
+    "sharded_bit_reset",
     "make_distributed_selfplay",
     "make_distributed_train_step",
 ]
