@@ -22,11 +22,23 @@ Details for each config go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
+# Persistent XLA compilation cache: compiles under the remote-TPU tunnel run
+# minutes; caching them makes repeat bench runs start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def bench_rollout(board_size, batch, steps, with_obs=False):

@@ -49,10 +49,10 @@ def check_match(s, g, n):
         assert [int(a) for a in np.nonzero(mask)[0]] == g.legal_actions()
 
 
-@pytest.mark.parametrize("n", [5, 6, 8, 12])
+@pytest.mark.parametrize("n", [5, 6, 8, 12, 17, 24])
 def test_random_games_match_oracle(n):
     rng = random.Random(1234 + n)
-    games = 6 if n <= 8 else 3
+    games = 6 if n <= 8 else (3 if n <= 12 else 1)
     for gi in range(games):
         s = reset(n)
         g = OracleGame(n)
