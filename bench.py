@@ -7,9 +7,10 @@ batch 4096 lockstep envs (config 3), with secondary configs 2 (5x5 batch
 feed).
 
 The measured path is the production bitboard engine (ops/bitboard.py):
-u32 bitplane boards + popcount-rank sampling, bit-exact-equivalent to the
-canonical tensor engine (pinned by tests/test_bitboard.py), ~6x faster on a
-v5e chip.
+u32 bitplane boards + popcount-rank sampling + windowed inner-board
+union-find, bit-exact-equivalent to the canonical tensor engine (pinned by
+tests/test_bitboard.py), ~15x faster than that engine on a v5e chip
+(89.7M env-steps/s at the headline config as of the v3 step).
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}

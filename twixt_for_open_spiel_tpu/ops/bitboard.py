@@ -11,9 +11,10 @@ whole-board probe of the link-placement rule (8 same-color neighbor tests +
 per env instead of P*P bytes: ~6x fewer VPU lane-elements and HBM bytes per
 pass on the headline board size.
 
-What stays unpacked: the union-find component board ``compid`` ([P, P, *B]
-int16, exactly as in ops/step.py) — component ids are 10-bit values, and
-bit-slicing them would triple the compare cost of the O(1) merge.
+What stays unpacked: the union-find component board ``compid`` (int16, as in
+ops/step.py but restricted to the inner board-size region — the halo never
+holds pegs) — component ids are 10-bit values, and bit-slicing them would
+triple the compare cost of the O(1) merge.
 
 Action sampling replaces the f32 Gumbel-max over [A, *B] with exact
 popcount-rank selection on the legal bitplane: draw k uniform in
@@ -41,7 +42,6 @@ import jax.numpy as jnp
 from twixt_for_open_spiel_tpu.ops import geometry as geo
 from twixt_for_open_spiel_tpu.ops.state import (
     State,
-    onehot_board,
     padded_size,
     reset,
     swap_rotate_action,
@@ -56,23 +56,33 @@ class BitState(NamedTuple):
 
     Bitplanes are uint32 [P, *B], bit y of word [x] = cell (x, y):
       red, blue      peg of that color
-      links          [8, P, *B]  link present in compass dir d (symmetric)
-      blocked        [8, P, *B]  blocked same-color neighbor in dir d
-      legal          [2, P, *B]  per-player legal-action masks
-      flags          [4, P, *B]  border-connectivity bit (player*2+border)
-                     of the cell's component (pegs) / initial border flags
-                     (empty border cells) — bit-sliced Cell::linked_to_border_
+      links          8-tuple of [P, *B]: link present in compass dir d
+                     (symmetric)
+      blocked        8-tuple of [P, *B]: blocked same-color neighbor in dir d
+      legal          2-tuple of [P, *B]: per-player legal-action masks
+      flags          4-tuple of [P, *B]: border-connectivity bit
+                     (player*2+border) of the cell's component (pegs) /
+                     initial border flags (empty border cells) — bit-sliced
+                     Cell::linked_to_border_
     Unpacked:
-      compid         int16 [P, P, *B] as in ops/state.State
+      compid         int16 [N, N, *B] — ops/state.State's component-id board
+                     restricted to the inner N = board_size region (the halo
+                     never holds pegs, so its ids never change; dropping it
+                     cuts the dominant [*,*,B] traffic of the step ~2.25x)
       current_player / move_counter / move_one / swapped / result: [*B]
+
+    The per-direction planes are TUPLES of 2-D-per-env arrays, not stacked
+    [8, P, *B] tensors: stacked carries made XLA materialise ~10 layout
+    copies + 9 dynamic-update-slices of [8, P, B] u32 per lockstep step
+    (measured via scripts/hlo_bit_step.py; unstacking alone bought ~1.3x).
     """
 
     red: jnp.ndarray
     blue: jnp.ndarray
-    links: jnp.ndarray
-    blocked: jnp.ndarray
-    legal: jnp.ndarray
-    flags: jnp.ndarray
+    links: tuple
+    blocked: tuple
+    legal: tuple
+    flags: tuple
     compid: jnp.ndarray
     current_player: jnp.ndarray
     move_counter: jnp.ndarray
@@ -101,16 +111,18 @@ def from_state(state: State) -> BitState:
     color = state.color
     red = _pack_bool(color == jnp.asarray(geo.COLOR_RED, color.dtype))
     blue = _pack_bool(color == jnp.asarray(geo.COLOR_BLUE, color.dtype))
-    links = jnp.stack(
-        [_pack_bool(((state.links >> d) & 1) != 0) for d in range(8)]
+    links = tuple(
+        _pack_bool(((state.links >> d) & 1) != 0) for d in range(8)
     )
-    blocked = jnp.stack(
-        [_pack_bool(((state.blocked >> d) & 1) != 0) for d in range(8)]
+    blocked = tuple(
+        _pack_bool(((state.blocked >> d) & 1) != 0) for d in range(8)
     )
-    legal = jnp.stack([_pack_bool(state.legal[0]), _pack_bool(state.legal[1])])
-    flags = jnp.stack(
-        [_pack_bool(((state.flags >> b) & 1) != 0) for b in range(4)]
+    legal = (_pack_bool(state.legal[0]), _pack_bool(state.legal[1]))
+    flags = tuple(
+        _pack_bool(((state.flags >> b) & 1) != 0) for b in range(4)
     )
+    n = state.color.shape[0] - 2 * geo.PAD
+    compid = state.compid[geo.PAD : geo.PAD + n, geo.PAD : geo.PAD + n]
     return BitState(
         red=red,
         blue=blue,
@@ -118,7 +130,7 @@ def from_state(state: State) -> BitState:
         blocked=blocked,
         legal=legal,
         flags=flags,
-        compid=state.compid,
+        compid=compid,
         current_player=state.current_player,
         move_counter=state.move_counter,
         move_one=state.move_one,
@@ -154,17 +166,28 @@ def to_state(bs: BitState, board_size: int) -> State:
 
     def unpack_bits(planes):
         acc = jnp.zeros(color.shape, jnp.uint8)
-        for d in range(planes.shape[0]):
+        for d, plane in enumerate(planes):
             acc = acc | jnp.where(
-                _unpack_bool(planes[d], p), jnp.uint8(1 << d), jnp.uint8(0)
+                _unpack_bool(plane, p), jnp.uint8(1 << d), jnp.uint8(0)
             )
         return acc
+
+    # paste the inner compid back into the constant halo (halo ids are -1
+    # from reset and can never change: hits require a component id >= 0)
+    n = board_size
+    halo = jnp.broadcast_to(
+        consts.compid.reshape(consts.compid.shape + (1,) * (bs.compid.ndim - 2)),
+        (p, p) + bs.compid.shape[2:],
+    )
+    compid = halo.at[geo.PAD : geo.PAD + n, geo.PAD : geo.PAD + n].set(
+        bs.compid
+    )
 
     return State(
         color=color,
         links=unpack_bits(bs.links),
         blocked=unpack_bits(bs.blocked),
-        compid=bs.compid,
+        compid=compid,
         flags=unpack_bits(bs.flags),
         legal=jnp.stack([_unpack_bool(bs.legal[0], p),
                          _unpack_bool(bs.legal[1], p)]),
@@ -234,7 +257,7 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     # move 2 without swap: move one finally leaves both legal sets
     # (twixtboard.cc:475-480)
     rm1 = jnp.where((mc == 1) & ~is_swap, m_one, _U32(0))
-    legal = bs.legal & ~rm1[None]
+    legal = tuple(l & ~rm1 for l in bs.legal)
 
     # place the peg
     is_red = player == 0
@@ -262,8 +285,6 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
         blocked[d] = blocked[d] | blkd
         blocked[od] = blocked[od] | _shiftp(blkd, -dx, -dy)
         nl_board.append(linked)
-    links = jnp.stack(links)
-    blocked = jnp.stack(blocked)
 
     # --- union-find merge (ExploreLocalGraph equivalent; see ops/step.py).
     # merged flag byte: own cell's flags | flags of each newly linked
@@ -278,43 +299,64 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
             _any_bits(bs.flags[b] & nb_mask), jnp.int32(1 << b), 0
         )
 
-    # neighbor component ids: masked whole-board reduces on the unpacked
-    # compid (ids are 10-bit; bit-slicing would triple the compare cost)
-    me_board = onehot_board(eff, board_size)
+    # neighbor component ids from the unpacked inner-board compid (ids are
+    # 10-bit; bit-slicing would triple the compare cost).  Extraction is
+    # windowed: one multi-output reduce over x yields the 5 rows
+    # x = px-2..px+2 as [N, *B] vectors, then each of the 8 neighbor cids is
+    # a cheap [N, *B] reduce over y — instead of 8 independent full-board
+    # masked reduces (windowing + inner board measured 2.4x whole-rollout,
+    # scripts/perf_bit_v2.py).
+    n = board_size
+    px = eff // n  # inner coords (no halo)
+    py = eff % n
     compid32 = bs.compid.astype(jnp.int32)
+    bdims = compid32.ndim - 2
+    xs = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (bdims + 1), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * bdims, 0)
+    # rows off the inner board (peg near an edge) match no x and yield the
+    # -_BIG sentinel; those directions never carry a new link anyway
+    wins = [
+        jnp.max(jnp.where(xs == px + (r - 2), compid32, -_BIG), axis=0)
+        for r in range(5)
+    ]
     nl_any = [_any_bits(nl) for nl in nl_board]
     nid = eff
     cids = []
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
-        cid_board = jnp.where(
-            me_board & nl_any[d], _shift_board(compid32, dx, dy), -1
-        )
-        cid = jnp.max(cid_board, axis=(0, 1))
+        raw = jnp.max(
+            jnp.where(ys == py + dy, wins[dx + 2], -_BIG), axis=0
+        )  # [*B]
+        # sentinel -7 never equals a compid (ids are >= -1), so unlinked
+        # directions can't match in the hit test below
+        cid = jnp.where(nl_any[d], raw, jnp.int32(-7))
         cids.append(cid)
         nid = jnp.minimum(nid, jnp.where(cid >= 0, cid, _BIG))
 
-    hit = me_board
+    me_inner = (xs == px) & jnp.expand_dims(ys == py, 0)
+    hit = me_inner
     for cid in cids:
         hit = hit | ((compid32 == cid) & (cid >= 0))
     compid = jnp.where(hit, nid.astype(bs.compid.dtype), bs.compid)
 
     # stamp the merged flag byte on the whole united component: pack the hit
     # board into a bitplane once, then or it into the set flag bits
-    hit_bits = _pack_bool(hit)
-    flags = jnp.stack(
-        [
-            jnp.where(
-                ((nf >> b) & 1) != 0, bs.flags[b] | hit_bits, bs.flags[b]
-            )
-            for b in range(4)
-        ]
+    # pack the inner hit board into a full padded bitplane [P, *B]
+    ybits = _U32(1) << (
+        jnp.arange(n, dtype=_U32).reshape((1, n) + (1,) * bdims) + geo.PAD
+    )
+    inner_bits = jnp.sum(jnp.where(hit, ybits, _U32(0)), axis=1, dtype=_U32)
+    zpad = jnp.zeros((geo.PAD,) + inner_bits.shape[1:], _U32)
+    hit_bits = jnp.concatenate([zpad, inner_bits, zpad], axis=0)
+    flags = tuple(
+        jnp.where(((nf >> b) & 1) != 0, bs.flags[b] | hit_bits, bs.flags[b])
+        for b in range(4)
     )
 
     # --- legal bookkeeping: move one stays legal for one ply
     # (twixtboard.cc:485-493)
     rm = jnp.where(mc == 0, _U32(0), me)
-    legal = legal & ~rm[None]
+    legal = tuple(l & ~rm for l in legal)
     move_one = jnp.where(mc == 0, eff, bs.move_one)
 
     # --- result (UpdateResult, twixtboard.cc:192-207)
@@ -339,8 +381,8 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     return BitState(
         red=red,
         blue=blue,
-        links=links,
-        blocked=blocked,
+        links=tuple(links),
+        blocked=tuple(blocked),
         legal=legal,
         flags=flags,
         compid=compid,
@@ -350,15 +392,6 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
         swapped=bs.swapped | is_swap,
         result=result,
     )
-
-
-def _shift_board(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
-    """Static whole-board shift on [P, P, *B] (as ops/step._shift)."""
-    if dx:
-        arr = jnp.concatenate([arr[dx:], arr[:dx]], axis=0)
-    if dy:
-        arr = jnp.concatenate([arr[:, dy:], arr[:, :dy]], axis=1)
-    return arr
 
 
 # --- sampling: exact popcount-rank selection on the legal bitplane ---------
