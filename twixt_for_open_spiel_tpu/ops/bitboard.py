@@ -92,12 +92,22 @@ class BitState(NamedTuple):
 
 
 def _pack_bool(board: jnp.ndarray) -> jnp.ndarray:
-    """[P, P, *B] bool -> [P, *B] u32 bitplane (bit y = board[x, y])."""
+    """[P, P, *B] bool -> [P, *B] u32 bitplane (bit y = board[x, y]).
+
+    The bit weights are built with broadcasted_iota at full rank (no
+    reshape) so the same code lowers inside Pallas kernels
+    (ops/fused_bit_rollout.py); XLA constant-folds it either way.
+    """
     p = board.shape[1]
-    ybits = _U32(1) << jnp.arange(p, dtype=_U32).reshape(
-        (p,) + (1,) * (board.ndim - 2)
+    assert p <= 31, "bit index must fit a non-negative int32"
+    # int32 accumulation (bit weights stay below 2^31): Mosaic has no
+    # unsigned reductions
+    ybits = jnp.int32(1) << jax.lax.broadcasted_iota(
+        jnp.int32, (1, p) + (1,) * (board.ndim - 2), 1
     )
-    return jnp.sum(jnp.where(board, ybits, _U32(0)), axis=1, dtype=_U32)
+    return jnp.sum(
+        jnp.where(board, ybits, 0), axis=1, dtype=jnp.int32
+    ).astype(_U32)
 
 
 def _unpack_bool(plane: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -232,8 +242,12 @@ def _onehot_bits(action, board_size: int) -> jnp.ndarray:
 
 
 def _any_bits(plane: jnp.ndarray) -> jnp.ndarray:
-    """[P, *B] -> [*B] bool: any bit set (or-reduce via max of u32)."""
-    return jnp.max(plane, axis=0) != 0
+    """[P, *B] -> [*B] bool: any bit set.
+
+    Reduced as 0/1 int32 (not a u32 max): Mosaic has no unsigned reductions,
+    and XLA fuses the compare into the reduce either way.
+    """
+    return jnp.max(jnp.where(plane != 0, 1, 0), axis=0) != 0
 
 
 def step_bits(bs: BitState, board_size: int, action) -> BitState:
@@ -333,7 +347,10 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
         cids.append(cid)
         nid = jnp.minimum(nid, jnp.where(cid >= 0, cid, _BIG))
 
-    me_inner = (xs == px) & jnp.expand_dims(ys == py, 0)
+    ys_row = jax.lax.broadcasted_iota(
+        jnp.int32, (1, n) + (1,) * bdims, 1
+    )  # iota at rank, not expand_dims: lowers inside Pallas kernels too
+    me_inner = (xs == px) & (ys_row == py)
     hit = me_inner
     for cid in cids:
         hit = hit | ((compid32 == cid) & (cid >= 0))
@@ -342,10 +359,15 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     # stamp the merged flag byte on the whole united component: pack the hit
     # board into a bitplane once, then or it into the set flag bits
     # pack the inner hit board into a full padded bitplane [P, *B]
-    ybits = _U32(1) << (
-        jnp.arange(n, dtype=_U32).reshape((1, n) + (1,) * bdims) + geo.PAD
+    # (int32 accumulation: bit weights < 2^31 and Mosaic has no unsigned
+    # reductions)
+    ybits = jnp.int32(1) << (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n) + (1,) * bdims, 1)
+        + geo.PAD
     )
-    inner_bits = jnp.sum(jnp.where(hit, ybits, _U32(0)), axis=1, dtype=_U32)
+    inner_bits = jnp.sum(
+        jnp.where(hit, ybits, 0), axis=1, dtype=jnp.int32
+    ).astype(_U32)
     zpad = jnp.zeros((geo.PAD,) + inner_bits.shape[1:], _U32)
     hit_bits = jnp.concatenate([zpad, inner_bits, zpad], axis=0)
     flags = tuple(
