@@ -6,11 +6,13 @@ batch 4096 lockstep envs (config 3), with secondary configs 2 (5x5 batch
 256) and 4 (24x24 batch 8192 + observation-tensor emission for the learner
 feed).
 
-The measured path is the production bitboard engine (ops/bitboard.py):
-u32 bitplane boards + popcount-rank sampling + windowed inner-board
-union-find, bit-exact-equivalent to the canonical tensor engine (pinned by
-tests/test_bitboard.py), ~15x faster than that engine on a v5e chip
-(89.7M env-steps/s at the headline config as of the v3 step).
+The measured path on TPU is the fused Pallas rollout over the bitboard
+engine (ops/fused_bit_rollout.py): the whole multi-step env loop runs in
+one kernel per env tile with state resident in VMEM, bit-identical to the
+XLA bitboard path (pinned by tests/test_fused_bit.py and cross-checked on
+hardware by scripts/bench_fused_bit.py), which in turn is bit-exact-
+equivalent to the canonical tensor engine (tests/test_bitboard.py).
+On CPU (no Mosaic) the XLA bitboard path is measured instead.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
@@ -42,7 +44,7 @@ except Exception:
     pass
 
 
-def bench_rollout(board_size, batch, steps, with_obs=False):
+def bench_rollout(board_size, batch, steps, with_obs=False, tile=None):
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_random_rollout,
         bit_reset,
@@ -50,10 +52,21 @@ def bench_rollout(board_size, batch, steps, with_obs=False):
     )
     from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
 
+    fused = None
+    if jax.default_backend() not in ("cpu",) and tile and batch % tile == 0:
+        from twixt_for_open_spiel_tpu.ops.fused_bit_rollout import (
+            fused_bit_rollout,
+        )
+
+        fused = fused_bit_rollout
+
     state = bit_reset(board_size, batch)
 
     def run(seed, state):
-        final, stats = bit_random_rollout(seed, board_size, steps, state)
+        if fused is not None:
+            final, stats = fused(seed, board_size, steps, state, tile=tile)
+        else:
+            final, stats = bit_random_rollout(seed, board_size, steps, state)
         if with_obs:
             obs = observation_nchw(to_state(final, board_size), board_size)
             return final, stats, obs
@@ -78,9 +91,10 @@ def bench_rollout(board_size, batch, steps, with_obs=False):
     env_steps = batch * steps * reps
     rate = env_steps / dt
     stats = out[1]
+    path = f"fused(tile={tile})" if fused is not None else "xla"
     print(
         f"[bench] n={board_size} batch={batch} steps={steps} obs={with_obs}"
-        f" -> {rate:,.0f} env-steps/s ({dt:.2f}s, episodes/rep="
+        f" path={path} -> {rate:,.0f} env-steps/s ({dt:.2f}s, episodes/rep="
         f"{int(stats['episodes'])})",
         file=sys.stderr,
     )
@@ -93,11 +107,11 @@ def main():
     steps = 1000 if backend in ("tpu", "axon") else 20
 
     # config 2: minimal board
-    bench_rollout(5, 256, steps)
+    bench_rollout(5, 256, steps, tile=256)
     # config 3: headline
-    headline = bench_rollout(12, 4096, steps)
+    headline = bench_rollout(12, 4096, steps, tile=2048)
     # config 4: max board + obs emission
-    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True)
+    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True, tile=1024)
 
     per_chip_target = 10e6 / 8  # north-star: 10M/s per 8-chip v5e host
     print(
