@@ -109,9 +109,9 @@ def main():
     # config 2: minimal board
     bench_rollout(5, 256, steps, tile=256)
     # config 3: headline
-    headline = bench_rollout(12, 4096, steps, tile=2048)
+    headline = bench_rollout(12, 4096, steps, tile=4096)
     # config 4: max board + obs emission
-    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True, tile=1024)
+    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True, tile=2048)
 
     per_chip_target = 10e6 / 8  # north-star: 10M/s per 8-chip v5e host
     print(

@@ -56,9 +56,19 @@ class BitState(NamedTuple):
 
     Bitplanes are uint32 [P, *B], bit y of word [x] = cell (x, y):
       red, blue      peg of that color
-      links          8-tuple of [P, *B]: link present in compass dir d
-                     (symmetric)
-      blocked        8-tuple of [P, *B]: blocked same-color neighbor in dir d
+      links          4-tuple of [P, *B]: CANONICAL east-direction planes —
+                     each (symmetric) link is stored exactly once, at its
+                     west endpoint, in one of the dirs NNE..SSE.  The
+                     crossing rule only ever probes canonical planes
+                     (geometry.CROSSERS is canonicalised), so the four west
+                     planes of the earlier 8-plane layout were pure write
+                     traffic; dropping them halves the link-update work and
+                     the carried link state.  West bits are reconstructed by
+                     shifting in ``to_state`` (conversion path only).
+      blocked        4-tuple of [P, *B]: canonical blocked-pair planes, same
+                     convention (blocked bits are recorded symmetrically on
+                     both endpoints in the reference, twixtboard.cc:536-541,
+                     so one canonical bit per pair is lossless)
       legal          2-tuple of [P, *B]: per-player legal-action masks
       flags          4-tuple of [P, *B]: border-connectivity bit
                      (player*2+border) of the cell's component (pegs) /
@@ -72,9 +82,9 @@ class BitState(NamedTuple):
       current_player / move_counter / move_one / swapped / result: [*B]
 
     The per-direction planes are TUPLES of 2-D-per-env arrays, not stacked
-    [8, P, *B] tensors: stacked carries made XLA materialise ~10 layout
-    copies + 9 dynamic-update-slices of [8, P, B] u32 per lockstep step
-    (measured via scripts/hlo_bit_step.py; unstacking alone bought ~1.3x).
+    [4, P, *B] tensors: stacked carries made XLA materialise ~10 layout
+    copies + dynamic-update-slices per lockstep step (measured via
+    scripts/hlo_bit_step.py; unstacking alone bought ~1.3x).
     """
 
     red: jnp.ndarray
@@ -122,10 +132,10 @@ def from_state(state: State) -> BitState:
     red = _pack_bool(color == jnp.asarray(geo.COLOR_RED, color.dtype))
     blue = _pack_bool(color == jnp.asarray(geo.COLOR_BLUE, color.dtype))
     links = tuple(
-        _pack_bool(((state.links >> d) & 1) != 0) for d in range(8)
+        _pack_bool(((state.links >> d) & 1) != 0) for d in range(4)
     )
     blocked = tuple(
-        _pack_bool(((state.blocked >> d) & 1) != 0) for d in range(8)
+        _pack_bool(((state.blocked >> d) & 1) != 0) for d in range(4)
     )
     legal = (_pack_bool(state.legal[0]), _pack_bool(state.legal[1]))
     flags = tuple(
@@ -147,6 +157,19 @@ def from_state(state: State) -> BitState:
         swapped=state.swapped,
         result=state.result,
     )
+
+
+def expand_planes(planes4: tuple) -> tuple:
+    """4 canonical planes -> 8 symmetric per-direction planes.
+
+    West bit d (d >= 4) at cell c == canonical bit d-4 at cell c + OFF[d]
+    (links and blocked pairs are recorded symmetrically on both endpoints in
+    the reference, so the expansion is exact)."""
+    out = list(planes4)
+    for d in range(4, geo.NUM_DIRS):
+        dx, dy = (int(v) for v in geo.OFFSETS[d])
+        out.append(_shiftp(planes4[d - 4], dx, dy))
+    return tuple(out)
 
 
 def to_state(bs: BitState, board_size: int) -> State:
@@ -195,8 +218,8 @@ def to_state(bs: BitState, board_size: int) -> State:
 
     return State(
         color=color,
-        links=unpack_bits(bs.links),
-        blocked=unpack_bits(bs.blocked),
+        links=unpack_bits(expand_planes(bs.links)),
+        blocked=unpack_bits(expand_planes(bs.blocked)),
         compid=compid,
         flags=unpack_bits(bs.flags),
         legal=jnp.stack([_unpack_bool(bs.legal[0], p),
@@ -251,7 +274,19 @@ def _any_bits(plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def step_bits(bs: BitState, board_size: int, action) -> BitState:
-    """Bit-packed equivalent of ops/step.step_impl (same reference lines)."""
+    """Bit-packed equivalent of ops/step.step_impl (same reference lines).
+
+    The link-placement rule runs on SCALAR window probes: a handful of board
+    rows around the new peg are extracted from the canonical planes with
+    masked row reductions (the same trick as the compid window below), and
+    the 8 same-color tests + 8x9 crossing probes + 9x4 flag probes become
+    per-env bit tests on those words — replacing ~200 whole-plane shift/or
+    ops per step of the earlier all-plane formulation (measured +13% on the
+    XLA rollout, scripts/perf_bit_v4.py; bit-identical by the same script's
+    CPU validation and tests/test_bitboard.py).
+    """
+    n = board_size
+    p = bs.red.shape[0]
     player = bs.current_player
     mc = bs.move_counter
     action = jnp.asarray(action, jnp.int32)
@@ -279,73 +314,110 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     blue = jnp.where(is_red, blue, blue | me)
     mine = jnp.where(is_red, red, blue)
 
+    px = eff // n  # inner coords (no halo)
+    py = eff % n
+    pxp = px + geo.PAD
+    pyp = py + geo.PAD
+    bdims = px.ndim
+    xs_p = jax.lax.broadcasted_iota(jnp.int32, (p,) + (1,) * bdims, 0)
+
+    def xrow(plane, row):
+        """Word at board row ``row`` ([*B] int32) of a u32 plane — int32
+        accumulation (bit weights < 2^31; Mosaic has no unsigned reduces)."""
+        return jnp.max(
+            jnp.where(xs_p == row, plane.astype(jnp.int32), 0), axis=0
+        ).astype(_U32)
+
+    def probe(word, ybit):
+        return ((word >> ybit.astype(_U32)) & _U32(1)) != 0
+
+    # window rows needed per canonical plane (trace-time constants)
+    need_rows = [set() for _ in range(4)]
+    for d in range(geo.NUM_DIRS):
+        for ox, oy, d2 in geo.CROSSERS[d]:
+            need_rows[int(d2)].add(int(ox))
+    link_rows = {
+        (d2, ox): xrow(bs.links[d2], pxp + ox)
+        for d2 in range(4)
+        for ox in sorted(need_rows[d2])
+    }
+    mine_rows = {
+        dx: xrow(mine, pxp + dx)
+        for dx in sorted({int(v[0]) for v in geo.OFFSETS})
+    }
+    flag_rows = {
+        (b, dx): xrow(bs.flags[b], pxp + dx)
+        for b in range(4)
+        for dx in sorted({0} | {int(v[0]) for v in geo.OFFSETS})
+    }
+
     # --- links / blocked (SetPegAndLinks, twixtboard.cc:501-571): all 8
     # directions read the pre-move links (the 8 candidates share the new peg
-    # and cannot cross each other).
+    # and cannot cross each other); results land in the canonical plane of
+    # each pair's west endpoint.
     links = list(bs.links)
     blocked = list(bs.blocked)
-    nl_board = []  # per-dir one-hot of a NEW link at me
+    linked_s = []  # per-dir scalar [*B]: new link from me in dir d
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
-        same = me & _shiftp(mine, dx, dy)
-        cross = jnp.zeros_like(me)
+        same = probe(mine_rows[dx], pyp + dy)
+        crossed = jnp.zeros_like(same)
         for ox, oy, d2 in geo.CROSSERS[d]:
-            cross = cross | _shiftp(bs.links[int(d2)], int(ox), int(oy))
-        linked = same & ~cross
-        blkd = same & cross
-        od = geo.opp_dir(d)
-        links[d] = links[d] | linked
-        links[od] = links[od] | _shiftp(linked, -dx, -dy)
-        blocked[d] = blocked[d] | blkd
-        blocked[od] = blocked[od] | _shiftp(blkd, -dx, -dy)
-        nl_board.append(linked)
+            crossed = crossed | probe(
+                link_rows[(int(d2), int(ox))], pyp + int(oy)
+            )
+        linked = same & ~crossed
+        blkd = same & crossed
+        linked_s.append(linked)
+        if d < 4:
+            links[d] = links[d] | jnp.where(linked, me, _U32(0))
+            blocked[d] = blocked[d] | jnp.where(blkd, me, _U32(0))
+        else:
+            tgt = _shiftp(me, -dx, -dy)
+            links[d - 4] = links[d - 4] | jnp.where(linked, tgt, _U32(0))
+            blocked[d - 4] = blocked[d - 4] | jnp.where(blkd, tgt, _U32(0))
 
-    # --- union-find merge (ExploreLocalGraph equivalent; see ops/step.py).
-    # merged flag byte: own cell's flags | flags of each newly linked
-    # neighbor, via masked or-reduces on the flag bitplanes.
-    nb_mask = me
-    for d in range(geo.NUM_DIRS):
-        dx, dy = (int(v) for v in geo.OFFSETS[d])
-        nb_mask = nb_mask | _shiftp(nl_board[d], -dx, -dy)
+    # --- merged flag byte (ExploreLocalGraph equivalent; see ops/step.py):
+    # own cell's flags | flags of each newly linked neighbor, as scalars.
     nf = jnp.zeros(player.shape, jnp.int32)
     for b in range(4):
-        nf = nf | jnp.where(
-            _any_bits(bs.flags[b] & nb_mask), jnp.int32(1 << b), 0
-        )
+        got = probe(flag_rows[(b, 0)], pyp)
+        for d in range(geo.NUM_DIRS):
+            dx, dy = (int(v) for v in geo.OFFSETS[d])
+            got = got | (linked_s[d] & probe(flag_rows[(b, dx)], pyp + dy))
+        nf = nf | jnp.where(got, jnp.int32(1 << b), 0)
 
     # neighbor component ids from the unpacked inner-board compid (ids are
     # 10-bit; bit-slicing would triple the compare cost).  Extraction is
-    # windowed: one multi-output reduce over x yields the 5 rows
-    # x = px-2..px+2 as [N, *B] vectors, then each of the 8 neighbor cids is
-    # a cheap [N, *B] reduce over y — instead of 8 independent full-board
-    # masked reduces (windowing + inner board measured 2.4x whole-rollout,
-    # scripts/perf_bit_v2.py).
-    n = board_size
-    px = eff // n  # inner coords (no halo)
-    py = eff % n
-    compid32 = bs.compid.astype(jnp.int32)
-    bdims = compid32.ndim - 2
+    # windowed: 5 masked row reduces over x, then each of the 8 neighbor
+    # cids is a cheap [N, *B] reduce over y — instead of 8 independent
+    # full-board masked reduces (measured 2.4x whole-rollout,
+    # scripts/perf_bit_v2.py).  Compares run in the i16 storage dtype (no
+    # whole-board i32 cast per step).
+    compid = bs.compid
+    sent = jnp.asarray(-20000, compid.dtype)  # below any live id (>= -1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (bdims + 1), 0)
     ys = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * bdims, 0)
     # rows off the inner board (peg near an edge) match no x and yield the
-    # -_BIG sentinel; those directions never carry a new link anyway
+    # sentinel; those directions never carry a new link anyway
     wins = [
-        jnp.max(jnp.where(xs == px + (r - 2), compid32, -_BIG), axis=0)
+        jnp.max(jnp.where(xs == px + (r - 2), compid, sent), axis=0)
         for r in range(5)
     ]
-    nl_any = [_any_bits(nl) for nl in nl_board]
     nid = eff
     cids = []
     for d in range(geo.NUM_DIRS):
         dx, dy = (int(v) for v in geo.OFFSETS[d])
         raw = jnp.max(
-            jnp.where(ys == py + dy, wins[dx + 2], -_BIG), axis=0
-        )  # [*B]
+            jnp.where(ys == py + dy, wins[dx + 2], sent), axis=0
+        )  # [*B], compid dtype
         # sentinel -7 never equals a compid (ids are >= -1), so unlinked
         # directions can't match in the hit test below
-        cid = jnp.where(nl_any[d], raw, jnp.int32(-7))
+        cid = jnp.where(linked_s[d], raw, jnp.asarray(-7, raw.dtype))
         cids.append(cid)
-        nid = jnp.minimum(nid, jnp.where(cid >= 0, cid, _BIG))
+        nid = jnp.minimum(
+            nid, jnp.where(cid >= 0, cid.astype(jnp.int32), _BIG)
+        )
 
     ys_row = jax.lax.broadcasted_iota(
         jnp.int32, (1, n) + (1,) * bdims, 1
@@ -353,7 +425,7 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     me_inner = (xs == px) & (ys_row == py)
     hit = me_inner
     for cid in cids:
-        hit = hit | ((compid32 == cid) & (cid >= 0))
+        hit = hit | ((compid == cid) & (cid >= 0))
     compid = jnp.where(hit, nid.astype(bs.compid.dtype), bs.compid)
 
     # stamp the merged flag byte on the whole united component: pack the hit

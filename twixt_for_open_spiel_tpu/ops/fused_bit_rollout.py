@@ -56,8 +56,8 @@ from twixt_for_open_spiel_tpu.ops.state import board_consts, padded_size
 _U32 = jnp.uint32
 _BIG = 1 << 20
 
-_NUM_LEAVES = 2 + 8 + 8 + 2 + 4 + 1 + 5  # red/blue, links, blocked, legal,
-# flags, compid, 5 scalars
+_NUM_LEAVES = 2 + 4 + 4 + 2 + 4 + 1 + 5  # red/blue, canonical links,
+# canonical blocked, legal, flags, compid, 5 scalars
 
 
 def _flatten(bs: BitState):
@@ -153,8 +153,8 @@ def _bit_reset_leaves(board_size: int):
     return BitState(
         red=zplane,
         blue=zplane,
-        links=tuple(zplane for _ in range(8)),
-        blocked=tuple(zplane for _ in range(8)),
+        links=tuple(zplane for _ in range(4)),
+        blocked=tuple(zplane for _ in range(4)),
         legal=legal,
         flags=flags,
         compid=compid,
