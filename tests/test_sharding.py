@@ -108,3 +108,28 @@ def test_sharded_bit_rollout_runs_and_reduces():
         np.asarray(s.data).tobytes() for s in final.red.addressable_shards
     }
     assert len(reds) > 1
+
+
+def test_sharded_fused_rollout_matches_xla_bitwise():
+    """The fused Pallas kernel inside shard_map (interpret mode on the CPU
+    mesh) must produce bit-identical sharded trajectories to the XLA path."""
+    from twixt_for_open_spiel_tpu.parallel import (
+        make_sharded_bit_rollout,
+        sharded_bit_reset,
+    )
+
+    n, b, steps = 5, 8 * 128, 12
+    roll_x, mesh = make_sharded_bit_rollout(n, steps)
+    roll_f, _ = make_sharded_bit_rollout(
+        n, steps, mesh, fused_tile=128, interpret=True
+    )
+    state = sharded_bit_reset(n, b, mesh)
+    fx, sx = roll_x(7, state)
+    ff, sf = roll_f(7, state)
+    assert int(sx["episodes"]) == int(sf["episodes"])
+    np.testing.assert_array_equal(
+        np.asarray(sx["results"]), np.asarray(sf["results"])
+    )
+    for a, b_ in zip(jax.tree_util.tree_leaves(fx),
+                     jax.tree_util.tree_leaves(ff)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
