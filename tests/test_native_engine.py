@@ -144,3 +144,51 @@ def test_random_games_batch_counts():
     assert results[OPEN] == 0
     assert sum(results) == 50
     assert total >= 50  # at least one move per game
+
+
+@needs_engine
+@pytest.mark.parametrize("n", [5, 8, 12])
+def test_c_games_batch_replay_through_bit_engine(n):
+    """Soak: trajectories generated entirely inside the C host engine replay
+    through the batched jitted bit engine (ops/replay.py) and must land on
+    identical results AND identical final boards (color/links/blocked/flags
+    on the inner board), game by game."""
+    from twixt_for_open_spiel_tpu.ops import geometry as geo
+    from twixt_for_open_spiel_tpu.ops.bitboard import to_state
+    from twixt_for_open_spiel_tpu.ops.replay import bit_replay
+
+    games = 64
+    histories, c_results, c_snaps = [], [], []
+    for seed in range(games):
+        eng = NativeEngine(n)
+        actions, result = random_game(n, 1000 * n + seed)
+        for a in actions:
+            eng.apply(a)
+        assert eng.result == result
+        histories.append(actions)
+        c_results.append(result)
+        c_snaps.append(eng.snapshot())
+
+    t_max = max(len(h) for h in histories)
+    padded = np.full((t_max, games), -1, np.int32)
+    for b, h in enumerate(histories):
+        padded[:, b] = np.asarray(h + [-1] * (t_max - len(h)), np.int32)
+
+    final = bit_replay(n, padded)
+    np.testing.assert_array_equal(
+        np.asarray(final.result), np.asarray(c_results, np.int32)
+    )
+    s = to_state(final, n)
+    inner = slice(geo.PAD, geo.PAD + n)
+    color = np.asarray(s.color)[inner, inner]
+    links = np.asarray(s.links)[inner, inner]
+    blocked = np.asarray(s.blocked)[inner, inner]
+    flags = np.asarray(s.flags)[inner, inner]
+    for b in range(games):
+        c_color, c_links, c_blocked, c_flags = (
+            a.reshape(n, n) for a in c_snaps[b]
+        )
+        np.testing.assert_array_equal(color[..., b], c_color)
+        np.testing.assert_array_equal(links[..., b], c_links)
+        np.testing.assert_array_equal(blocked[..., b], c_blocked)
+        np.testing.assert_array_equal(flags[..., b], c_flags)

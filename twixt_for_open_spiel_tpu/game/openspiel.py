@@ -227,6 +227,12 @@ class TwixTState:
         c.history = list(self.history)
         return c
 
+    def serialize(self) -> str:
+        """OpenSpiel ``State::Serialize``: the action history, one per line
+        (any state is reconstructible from its action sequence — the
+        canonical checkpoint/restore path, SURVEY.md §5)."""
+        return "".join(f"{a}\n" for a in self.history)
+
     # raw tensor state, for the batched/env APIs
     @property
     def tensor_state(self):
@@ -262,3 +268,32 @@ def _parse_param(v: str):
         return int(v)
     except ValueError:
         return v
+
+
+# --- game+state serialization (OpenSpiel SerializeGameAndState /
+# DeserializeGameAndState text format)
+
+_SER_HEADER = "# Automatically generated by OpenSpiel SerializeGameAndState"
+
+
+def serialize_game_and_state(game: TwixTGame, state: TwixTState) -> str:
+    """Self-contained text round-trip of a game config + state history."""
+    return (
+        f"{_SER_HEADER}\n[Game]\n{game}\n[State]\n{state.serialize()}"
+    )
+
+
+def deserialize_game_and_state(data: str):
+    """Inverse of :func:`serialize_game_and_state`; returns (game, state)."""
+    lines = data.split("\n")
+    try:
+        g_at = lines.index("[Game]")
+        s_at = lines.index("[State]")
+    except ValueError:
+        raise SpielError(f"Expected a game and state section: {data!r}")
+    game = load_game("\n".join(lines[g_at + 1 : s_at]).strip())
+    state = game.new_initial_state()
+    for line in lines[s_at + 1 :]:
+        if line.strip():
+            state.apply_action(int(line))
+    return game, state
