@@ -161,6 +161,26 @@ class TwixTState:
         mask = np.asarray(legal_mask_flat(self._s, p, self.game.board_size))
         return [int(a) for a in np.nonzero(mask)[0]]
 
+    def legal_actions_mask(self, player: Optional[int] = None) -> List[int]:
+        """0/1 mask over the ``size*size`` action space (OpenSpiel
+        ``State::LegalActionsMask``); all-zero at terminal."""
+        n = self.game.board_size
+        mask = [0] * (n * n)
+        for a in self.legal_actions(player):
+            mask[a] = 1
+        return mask
+
+    def is_chance_node(self) -> bool:
+        """Always False: TwixT is deterministic (reference twixt.cc:40,
+        ``ChanceMode::kDeterministic``)."""
+        return False
+
+    def move_number(self) -> int:
+        return len(self.history)
+
+    def num_players(self) -> int:
+        return geo.NUM_PLAYERS
+
     def apply_action(self, action: int) -> None:
         # legality gate (reference twixt.h:93-97)
         if action not in self.legal_actions():
