@@ -1,4 +1,9 @@
-"""Fused Pallas rollout kernel: exact equivalence with the XLA step.
+"""Archived test of the superseded tensor-engine Pallas kernel.
+
+Run manually: python -m pytest scripts/archive_test_fused_tensor.py -q
+(The production fused kernel is ops/fused_bit_rollout.py; see docs/PERF.md.)
+
+Fused Pallas rollout kernel: exact equivalence with the XLA step.
 
 The kernel records every action it samples and every pre-reset result;
 replaying those actions through the reference XLA path
@@ -14,7 +19,9 @@ import numpy as np
 import pytest
 
 from twixt_for_open_spiel_tpu.ops import geometry as geo
-from twixt_for_open_spiel_tpu.ops.fused_rollout import (
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from archive_fused_tensor_rollout import (
     fused_random_rollout,
     rollout_stats,
 )

@@ -154,16 +154,40 @@ class TwixTState:
 
     def legal_actions(self, player: Optional[int] = None) -> List[int]:
         # reference twixt.h:86-90: empty at terminal, else the player's
-        # ascending action list
+        # ascending action list.  With an explicit player, OpenSpiel core
+        # sequential-game semantics apply (spiel.h LegalActions(Player)):
+        # empty unless player == CurrentPlayer(), SPIEL_CHECK on range.
+        if player is not None:
+            if not 0 <= player < geo.NUM_PLAYERS:
+                raise SpielError(
+                    f"player >= 0 && player < num_players: {player}"
+                )
+            if player != self.current_player():
+                return []
         if self.is_terminal():
             return []
         p = self.current_player() if player is None else player
         mask = np.asarray(legal_mask_flat(self._s, p, self.game.board_size))
         return [int(a) for a in np.nonzero(mask)[0]]
 
+    def legal_actions_for_player(self, player: int) -> List[int]:
+        """The named player's own legal set regardless of whose turn it is
+        (the permissive helper the batched APIs use; reference
+        Board::GetLegalActions, twixtboard.h:62-64)."""
+        if not 0 <= player < geo.NUM_PLAYERS:
+            raise SpielError(f"player >= 0 && player < num_players: {player}")
+        if self.is_terminal():
+            return []
+        mask = np.asarray(
+            legal_mask_flat(self._s, player, self.game.board_size)
+        )
+        return [int(a) for a in np.nonzero(mask)[0]]
+
     def legal_actions_mask(self, player: Optional[int] = None) -> List[int]:
         """0/1 mask over the ``size*size`` action space (OpenSpiel
-        ``State::LegalActionsMask``); all-zero at terminal."""
+        ``State::LegalActionsMask``); all-zero at terminal or when
+        ``player`` is given and is not the player to move (core spiel.h
+        semantics for sequential games)."""
         n = self.game.board_size
         mask = [0] * (n * n)
         for a in self.legal_actions(player):

@@ -20,7 +20,7 @@ Action sampling replaces the f32 Gumbel-max over [A, *B] with exact
 popcount-rank selection on the legal bitplane: draw k uniform in
 [0, popcount), walk the column cumsum, then binary-search the k-th set bit —
 a handful of [P, *B]/[*B] integer ops, no transcendentals, no f32 boards.
-RNG is the same counter-based SplitMix hash as ops/fused_rollout.py.
+RNG is the same counter-based SplitMix hash as ops/fused_bit_rollout.py.
 
 Equivalence with the canonical engine is pinned by tests/test_bitboard.py:
 random games stepped through both engines must match bit-for-bit on every

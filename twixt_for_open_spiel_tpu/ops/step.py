@@ -70,7 +70,8 @@ def _shift(arr: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     within the PAD halo (|dx|, |dy| <= PAD), where wrap-around never occurs.
     Written as concat-of-slices (== jnp.roll for static shifts) so the same
     code lowers both through XLA and through Mosaic inside the Pallas fused
-    rollout kernel (ops/fused_rollout.py).
+    rollout kernel (scripts/archive_fused_tensor_rollout.py; the production
+    fused kernel is ops/fused_bit_rollout.py).
     """
     if dx:
         arr = jnp.concatenate([arr[dx:], arr[:dx]], axis=0)
