@@ -1,18 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: batched random-rollout env throughput on one chip.
 
-Headline metric (BASELINE.json:2): env-steps/s per chip at board_size=12,
-batch 4096 lockstep envs (config 3), with secondary configs 2 (5x5 batch
-256) and 4 (24x24 batch 8192 + observation-tensor emission for the learner
-feed).
+Rows (stderr), matching BASELINE.json's metric string and configs:
+  * board_size=8,  batch 4096  — the driver's headline metric point
+  * board_size=5,  batch 256   — config 2 (minimal board)
+  * board_size=12, batch 4096  — config 3
+  * board_size=24, batch 4096  — the metric string's second size
+  * board_size=24, batch 8192 + PER-STEP observation-tensor emission —
+    config 4 (learner feed): every step's [B, 12, n, n-2] tensor is
+    materialised to HBM in bf16 (the learner's input dtype; planes are
+    binary so bf16 is exact) and read back by an on-device checksum, so the
+    number includes the full emit+write+read cost per step.
 
 The measured path on TPU is the fused Pallas rollout over the bitboard
 engine (ops/fused_bit_rollout.py): the whole multi-step env loop runs in
 one kernel per env tile with state resident in VMEM, bit-identical to the
 XLA bitboard path (pinned by tests/test_fused_bit.py and cross-checked on
 hardware by scripts/bench_fused_bit.py), which in turn is bit-exact-
-equivalent to the canonical tensor engine (tests/test_bitboard.py).
-On CPU (no Mosaic) the XLA bitboard path is measured instead.
+equivalent to the canonical tensor engine (tests/test_bitboard.py).  The
+per-step-obs row runs the XLA bitboard path (the emission is XLA).
+On CPU (no Mosaic) the XLA bitboard path is measured throughout.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
@@ -20,8 +27,6 @@ Prints exactly ONE JSON line on stdout:
 vs_baseline is measured throughput relative to this chip's share of the
 north-star target (>= 10M env-steps/s on one 8-chip v5e host => 1.25M/chip;
 the reference publishes no numbers of its own, BASELINE.json:13).
-
-Details for each config go to stderr.
 """
 
 import json
@@ -44,13 +49,18 @@ except Exception:
     pass
 
 
-def bench_rollout(board_size, batch, steps, with_obs=False, tile=None):
+def _readback(out):
+    # block_until_ready is unreliable under the axon tunnel; force a
+    # real device->host readback of a dependent scalar instead.
+    return np.asarray(out[1]["episodes"]).ravel()[0]
+
+
+def bench_rollout(board_size, batch, steps, tile=None):
+    """Random-rollout throughput (no obs): fused Pallas on TPU, XLA on CPU."""
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_random_rollout,
         bit_reset,
-        to_state,
     )
-    from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
 
     fused = None
     if jax.default_backend() not in ("cpu",) and tile and batch % tile == 0:
@@ -64,38 +74,70 @@ def bench_rollout(board_size, batch, steps, with_obs=False, tile=None):
 
     def run(seed, state):
         if fused is not None:
-            final, stats = fused(seed, board_size, steps, state, tile=tile)
-        else:
-            final, stats = bit_random_rollout(seed, board_size, steps, state)
-        if with_obs:
-            obs = observation_nchw(to_state(final, board_size), board_size)
-            return final, stats, obs
-        return final, stats
+            return fused(seed, board_size, steps, state, tile=tile)
+        return bit_random_rollout(seed, board_size, steps, state)
 
     run_j = jax.jit(run)
 
-    def readback(o):
-        # block_until_ready is unreliable under the axon tunnel; force a
-        # real device->host readback of a dependent scalar instead.
-        return np.asarray(o[1]["episodes"]).ravel()[0]
-
-    # compile + warm up
-    out = run_j(0, state)
-    readback(out)
+    out = run_j(0, state)  # compile + warm up
+    _readback(out)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         out = run_j(i + 1, state)
-    readback(out)
+    _readback(out)
     dt = time.perf_counter() - t0
-    env_steps = batch * steps * reps
-    rate = env_steps / dt
-    stats = out[1]
+    rate = batch * steps * reps / dt
     path = f"fused(tile={tile})" if fused is not None else "xla"
     print(
-        f"[bench] n={board_size} batch={batch} steps={steps} obs={with_obs}"
+        f"[bench] n={board_size} batch={batch} steps={steps} obs=False"
         f" path={path} -> {rate:,.0f} env-steps/s ({dt:.2f}s, episodes/rep="
-        f"{int(stats['episodes'])})",
+        f"{int(out[1]['episodes'])})",
+        file=sys.stderr,
+    )
+    return rate
+
+
+def bench_rollout_obs(board_size, batch, chunk, launches):
+    """Rollout throughput INCLUDING per-step obs emission (config 4).
+
+    Each launch scans ``chunk`` steps, materialising every step's
+    observation tensor ([chunk, B, 12, n, n-2] bf16) to HBM; an on-device
+    checksum then reads the whole buffer back, so emission can't be elided.
+    Only scalars cross the host boundary, keeping launches pipelined.
+    """
+    import jax.numpy as jnp
+
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        bit_reset,
+        bit_rollout_emit_obs,
+    )
+
+    state = bit_reset(board_size, batch)
+
+    @jax.jit
+    def run(seed, state):
+        state, stats, obs = bit_rollout_emit_obs(
+            seed, board_size, chunk, state
+        )
+        return state, stats, obs.astype(jnp.float32).sum()
+
+    state_w, out_stats, _ = run(0, state)  # compile + warm up
+    _readback((None, out_stats))
+    t0 = time.perf_counter()
+    reps = 2
+    for r in range(reps):
+        st = state
+        for i in range(launches):
+            st, stats, chk = run(r * launches + i + 1, st)
+        _readback((None, stats))
+    dt = time.perf_counter() - t0
+    steps = chunk * launches
+    rate = batch * steps * reps / dt
+    print(
+        f"[bench] n={board_size} batch={batch} steps={steps} obs=PER-STEP"
+        f" (bf16 emit+checksum) path=xla -> {rate:,.0f} env-steps/s"
+        f" ({dt:.2f}s)",
         file=sys.stderr,
     )
     return rate
@@ -104,20 +146,28 @@ def bench_rollout(board_size, batch, steps, with_obs=False, tile=None):
 def main():
     backend = jax.default_backend()
     print(f"[bench] backend={backend} devices={jax.devices()}", file=sys.stderr)
-    steps = 1000 if backend in ("tpu", "axon") else 20
+    on_tpu = backend not in ("cpu",)
+    steps = 1000 if on_tpu else 20
 
     # config 2: minimal board
     bench_rollout(5, 256, steps, tile=256)
-    # config 3: headline
-    headline = bench_rollout(12, 4096, steps, tile=4096)
-    # config 4: max board + obs emission
-    bench_rollout(24, 8192, max(steps // 4, 10), with_obs=True, tile=2048)
+    # the driver metric point: board_size=8, batch 4096
+    headline = bench_rollout(8, 4096, steps, tile=4096)
+    # config 3: headline board of the perf ladder
+    bench_rollout(12, 4096, steps, tile=4096)
+    # the metric string's second size: board_size=24, batch 4096
+    bench_rollout(24, 4096, steps, tile=2048)
+    # config 4: max board, batch 8192, PER-STEP obs emission (learner feed)
+    if on_tpu:
+        bench_rollout_obs(24, 8192, chunk=16, launches=16)
+    else:
+        bench_rollout_obs(24, 64, chunk=4, launches=2)
 
     per_chip_target = 10e6 / 8  # north-star: 10M/s per 8-chip v5e host
     print(
         json.dumps(
             {
-                "metric": "env-steps/s per chip, twixt board_size=12, "
+                "metric": "env-steps/s per chip, twixt board_size=8, "
                 "batch=4096 lockstep random rollouts",
                 "value": round(headline),
                 "unit": "env-steps/s",

@@ -46,7 +46,7 @@ from twixt_for_open_spiel_tpu.parallel import (
     make_distributed_selfplay,
     make_distributed_train_step,
     make_env_mesh,
-    sharded_batch_reset,
+    sharded_bit_reset,
 )
 
 
@@ -79,7 +79,7 @@ def main():
     opt = make_optimizer(1e-3)
     opt_state = opt.init(params)
 
-    state = sharded_batch_reset(n, batch, mesh)
+    state = sharded_bit_reset(n, batch, mesh)
     key = jax.random.PRNGKey(1)
 
     # warm up / compile
@@ -119,7 +119,7 @@ def main():
         rep1 = NamedSharding(mesh1, P())
         params1 = jax.device_put(params, rep1)
         opt1 = jax.device_put(opt_state, rep1)
-        st1 = sharded_batch_reset(n, batch, mesh1)
+        st1 = sharded_bit_reset(n, batch, mesh1)
         st1, sm1 = sp1(params1, st1, key)
         p1, os1, m1 = tr1(params1, opt1, sm1)
         _readback(m1)

@@ -137,3 +137,36 @@ def test_bit_rollout_states_stay_valid():
         partner = (links >> geo.opp_dir(d)) & 1
         rolled = np.roll(np.roll(partner, -dx, axis=0), -dy, axis=1)
         np.testing.assert_array_equal(has, has & rolled)
+
+
+@pytest.mark.parametrize("n", [5, 8, 12])
+def test_bit_observation_and_legal_mask_match_canonical(n):
+    """The bit-native observation / flat legal mask (the self-play stack's
+    inputs, ops/observe.bit_observation + ops/bitboard.bit_legal_mask_flat)
+    must equal the canonical paths on every state of random games."""
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_legal_mask_flat
+    from twixt_for_open_spiel_tpu.ops.observe import (
+        bit_observation,
+        observation,
+    )
+
+    rng = random.Random(n)
+    s = reset(n)
+    for mv in range(30):
+        if int(s.result) != geo.RESULT_OPEN:
+            break
+        p = max(0, min(1, int(s.current_player)))
+        acts = np.nonzero(np.asarray(legal_mask_flat(s, p, n)))[0]
+        s = step(s, n, int(rng.choice(list(acts))))
+        bs = from_state(s)
+        for q in (0, 1):
+            np.testing.assert_array_equal(
+                np.asarray(bit_legal_mask_flat(bs, q, n)),
+                np.asarray(legal_mask_flat(s, q, n)),
+                err_msg=f"legal n={n} mv={mv} player={q}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(bit_observation(bs, n)),
+            np.asarray(observation(s, n)),
+            err_msg=f"obs n={n} mv={mv}",
+        )

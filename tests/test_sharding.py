@@ -14,6 +14,7 @@ from twixt_for_open_spiel_tpu.parallel import (
     make_env_mesh,
     make_sharded_rollout,
     sharded_batch_reset,
+    sharded_bit_reset,
     make_distributed_selfplay,
     make_distributed_train_step,
 )
@@ -56,7 +57,7 @@ def test_sharded_selfplay_feeds_sharded_learner():
     trainer, _ = make_distributed_train_step(
         net.apply, make_optimizer(1e-3), mesh
     )
-    state = sharded_batch_reset(n, b, mesh)
+    state = sharded_bit_reset(n, b, mesh)
     state, sample = selfplay(params, state, jax.random.PRNGKey(1))
     assert sample.obs.shape == (t, b, geo.NUM_PLANES, n, n - 2)
     # sample batch axis sharded over mesh

@@ -39,7 +39,7 @@ def make_mcts_player(board_size, max_simulations, rollout_count, seed):
         probs, root_q = mcts.batched_search(
             None,
             states,
-            k[None],
+            k,
             evaluator=evaluator,
             board_size=board_size,
             num_simulations=max_simulations,

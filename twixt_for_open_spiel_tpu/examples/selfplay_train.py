@@ -26,7 +26,7 @@ from twixt_for_open_spiel_tpu.parallel import (
     make_distributed_selfplay,
     make_distributed_train_step,
     make_env_mesh,
-    sharded_batch_reset,
+    sharded_bit_reset,
 )
 from twixt_for_open_spiel_tpu.utils import serialization
 
@@ -69,7 +69,7 @@ def main(argv=None):
             params, opt_state, start_iter = restored
             print(f"restored checkpoint at iteration {start_iter}")
 
-    state = sharded_batch_reset(n, args.batch, mesh)
+    state = sharded_bit_reset(n, args.batch, mesh)
     key = jax.random.PRNGKey(args.seed + 1)
     for it in range(start_iter, args.iterations):
         t0 = time.perf_counter()

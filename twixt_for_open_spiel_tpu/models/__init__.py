@@ -4,7 +4,7 @@ from twixt_for_open_spiel_tpu.models.network import (
     init_params,
     masked_policy,
 )
-from twixt_for_open_spiel_tpu.models.mcts import batched_search, search
+from twixt_for_open_spiel_tpu.models.mcts import batched_search, search_batch
 from twixt_for_open_spiel_tpu.models.selfplay import (
     Sample,
     loss_fn,
@@ -19,7 +19,7 @@ __all__ = [
     "init_params",
     "masked_policy",
     "batched_search",
-    "search",
+    "search_batch",
     "Sample",
     "loss_fn",
     "make_optimizer",

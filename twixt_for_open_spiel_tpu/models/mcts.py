@@ -1,17 +1,27 @@
-"""Batched AlphaZero MCTS under jit, with true game dynamics.
+"""Batched AlphaZero MCTS on the bitboard engine: one array-of-trees search.
 
 The reference is exercised by OpenSpiel's CPU ``mcts_example``
 (reference README.md:38-40) — one tree, one thread, pointer-chasing.  The
-TPU-native redesign keeps a *fixed-size tree as flat arrays* per environment
-and vmaps the whole search over the env batch, so every network evaluation
-inside the search is a full [B]-batch MXU call and every tree operation is a
-gather/scatter over [B, nodes, actions] tensors:
+TPU-native redesign runs ONE search program over the whole env batch
+("array of trees"): every tree array carries a leading ``[B]`` axis, every
+phase of every simulation is a full-batch tensor op, and the env batch never
+leaves the engine's lane-major layout:
 
-  * selection: PUCT argmax over masked children, ``lax.while_loop`` to a
-    leaf (fixed max depth);
-  * expansion: one engine ``step`` (ops/step.py) creates the child state;
-  * backup: ``lax.while_loop`` up the parent chain with sign-flipped values
-    (two-player zero-sum).
+  * selection walks all B trees in lockstep (``lax.while_loop`` that ends
+    when every env has reached a leaf) — each iteration is a handful of
+    ``[B, A]`` gathers + one PUCT argmax, not B scalar loops;
+  * expansion steps the BITBOARD engine (ops/bitboard.step_bits) once for
+    the whole batch — node states are stored as packed ``BitState`` buffers
+    with a leading ``[nodes]`` axis and the env batch still trailing, so the
+    expansion step runs at the rollout engine's native throughput;
+  * evaluation is one ``[B]``-batch network call on observations emitted
+    straight from the bitplanes (ops/observe.bit_observation_nchw);
+  * backup walks all B parent chains in lockstep (scatter-adds at
+    ``[B]`` node indices per level).
+
+This replaces the round-1 design (vmapped per-env search over canonical
+tensor states), whose per-env scalar select/backup loops and per-node
+canonical-State storage bounded self-play at ~500 moves/s; see docs/PERF.md.
 
 Simulation count and tree size are static; search never reallocates.
 """
@@ -25,106 +35,153 @@ import jax
 import jax.numpy as jnp
 
 from twixt_for_open_spiel_tpu.ops import geometry as geo
-from twixt_for_open_spiel_tpu.ops.state import State, legal_mask_flat
-from twixt_for_open_spiel_tpu.ops.step import step
-from twixt_for_open_spiel_tpu.ops.observe import observation
+from twixt_for_open_spiel_tpu.ops.bitboard import (
+    BitState,
+    bit_legal_mask_flat,
+    from_state,
+    sample_bits,
+    step_bits,
+    _hash_u32,
+)
+from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
 
 NO_NODE = jnp.int32(-1)
+_U32 = jnp.uint32
 
 
 class Tree(NamedTuple):
-    """Flat per-env search tree (all arrays have leading [nodes] axis)."""
+    """Flat search trees for the whole env batch.
 
-    visit: jnp.ndarray        # int32 [nodes] node visit count
-    value_sum: jnp.ndarray    # f32 [nodes] sum of backed-up values
-    prior: jnp.ndarray        # f32 [nodes, A] child priors
-    children: jnp.ndarray     # int32 [nodes, A] child node id or -1
-    parent: jnp.ndarray       # int32 [nodes]
-    parent_action: jnp.ndarray  # int32 [nodes]
-    legal: jnp.ndarray        # bool [nodes, A] legal mask at the node
-    terminal: jnp.ndarray     # bool [nodes]
+    Stats are batch-leading (``[B, nodes]`` / ``[B, nodes, A]``): tree walks
+    gather/scatter along the nodes axis with per-env indices.  Node states
+    are a ``BitState`` whose leaves carry a LEADING ``[nodes]`` axis on top
+    of the engine's batch-trailing layout (plane ``[nodes, P, B]``), so a
+    gathered per-env node state is already in the layout ``step_bits`` eats.
+    """
+
+    visit: jnp.ndarray           # int32 [B, nodes]
+    value_sum: jnp.ndarray       # f32 [B, nodes]
+    prior: jnp.ndarray           # f32 [B, nodes, A]
+    children: jnp.ndarray        # int32 [B, nodes, A] child node id or -1
+    parent: jnp.ndarray          # int32 [B, nodes]
+    legal: jnp.ndarray           # bool [B, nodes, A]
+    terminal: jnp.ndarray        # bool [B, nodes]
     # value of a terminal node from the perspective of the player to move at
     # its PARENT (the player who took parent_action); 0 for non-terminal.
-    terminal_value: jnp.ndarray  # f32 [nodes]
-    state: State              # node game states, stacked on axis 0
+    terminal_value: jnp.ndarray  # f32 [B, nodes]
+    state: BitState              # node states, leading [nodes] axis per leaf
 
 
-def _puct_scores(tree: Tree, node, c_puct):
-    """PUCT score for every action of ``node``."""
-    kids = tree.children[node]                       # [A]
+def _rows(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-env node rows: [B, nodes, ...] x [B] -> [B, ...]."""
+    idx = node.reshape(node.shape + (1,) * (arr.ndim - 1))
+    return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+
+def _gather_state(state: BitState, node: jnp.ndarray) -> BitState:
+    """Per-env node state: leaves [nodes, ..., B] x node [B] -> [..., B]."""
+
+    def leaf(buf):
+        idx = node.reshape((1,) * (buf.ndim - 1) + node.shape)
+        return jnp.take_along_axis(buf, idx, axis=0)[0]
+
+    return jax.tree_util.tree_map(leaf, state)
+
+
+def _set_node_state(state: BitState, node: int, value: BitState) -> BitState:
+    """Write one node slot (uniform index) of the node-state buffers."""
+    return jax.tree_util.tree_map(
+        lambda buf, v: buf.at[node].set(v), state, value
+    )
+
+
+def _puct_scores(tree: Tree, node: jnp.ndarray, c_puct) -> jnp.ndarray:
+    """PUCT score of every action at each env's ``node`` ([B] -> [B, A])."""
+    kids = _rows(tree.children, node)                       # [B, A]
     kid_valid = kids >= 0
-    safe_kids = jnp.maximum(kids, 0)
-    child_visit = jnp.where(kid_valid, tree.visit[safe_kids], 0)
-    child_value_sum = jnp.where(kid_valid, tree.value_sum[safe_kids], 0.0)
+    safe = jnp.maximum(kids, 0)
+    child_visit = jnp.where(
+        kid_valid, jnp.take_along_axis(tree.visit, safe, axis=1), 0
+    )
+    child_vsum = jnp.where(
+        kid_valid, jnp.take_along_axis(tree.value_sum, safe, axis=1), 0.0
+    )
     # child value stored from child's-player perspective; parent wants -Q
     q = jnp.where(
-        child_visit > 0, -child_value_sum / jnp.maximum(child_visit, 1), 0.0
+        child_visit > 0, -child_vsum / jnp.maximum(child_visit, 1), 0.0
     )
     # terminal children have exact value from parent's perspective
     q = jnp.where(
-        kid_valid & tree.terminal[safe_kids],
-        tree.terminal_value[safe_kids],
+        kid_valid & jnp.take_along_axis(tree.terminal, safe, axis=1),
+        jnp.take_along_axis(tree.terminal_value, safe, axis=1),
         q,
     )
-    total = tree.visit[node]
+    total = _rows(tree.visit, node)                          # [B]
     u = (
         c_puct
-        * tree.prior[node]
-        * jnp.sqrt(jnp.maximum(total, 1).astype(jnp.float32))
+        * _rows(tree.prior, node)
+        * jnp.sqrt(jnp.maximum(total, 1).astype(jnp.float32))[:, None]
         / (1.0 + child_visit.astype(jnp.float32))
     )
-    scores = q + u
-    return jnp.where(tree.legal[node], scores, -jnp.inf)
+    return jnp.where(_rows(tree.legal, node), q + u, -jnp.inf)
 
 
 @functools.lru_cache(maxsize=None)
 def net_evaluator(net_apply, board_size: int):
-    """Leaf evaluator backed by a policy/value network (AlphaZero mode).
+    """Batched leaf evaluator backed by a policy/value network.
 
-    Evaluators map (params, state, key) -> (logits [A], value scalar), value
-    from the perspective of the player to move at ``state``.
+    Evaluators map (params, bitstate [.., B], key) -> (logits [B, A],
+    value [B]), value from the perspective of the player to move.
 
     Cached per (net_apply, board_size) so the returned closure is a stable
     jit static argument (no spurious recompiles).
     """
 
-    def evaluate(params, state: State, key):
+    def evaluate(params, bs: BitState, key):
         del key
-        obs = observation(state, board_size)[None]
-        logits, value = net_apply(params, obs)
-        return logits[0], value[0]
+        obs = bit_observation_nchw(bs, board_size)
+        return net_apply(params, obs)
 
     return evaluate
 
 
 @functools.lru_cache(maxsize=None)
 def rollout_evaluator(board_size: int, rollout_count: int = 1):
-    """Leaf evaluator backed by uniform random playouts (vanilla MCTS mode —
-    the TPU equivalent of OpenSpiel's RandomRolloutEvaluator used by
-    ``mcts_example --rollout_count`` in reference README.md:38-40).
+    """Batched leaf evaluator backed by uniform random playouts (vanilla
+    MCTS mode — the TPU equivalent of OpenSpiel's RandomRolloutEvaluator
+    used by ``mcts_example --rollout_count``, reference README.md:38-40).
 
-    Plays ``rollout_count`` random games to termination with a bounded
-    ``while_loop`` over the engine step and averages the outcomes.  Priors
-    are uniform (zero logits).
+    Plays ``rollout_count`` lockstep random games to termination on the
+    bitboard engine and averages the outcomes.  Priors are uniform (zero
+    logits).
     """
-    from twixt_for_open_spiel_tpu.ops.rollout import sample_legal_action
+    n = board_size
+    max_moves = n * n  # >= remaining game length (MaxGameLength = n*n-3)
 
-    max_moves = board_size * board_size  # >= remaining game length
-
-    def one_rollout(state: State, key):
-        to_move = jnp.clip(state.current_player, 0, 1)
+    def one_rollout(bs: BitState, seed):
+        to_move = jnp.clip(bs.current_player, 0, 1)
+        nenv = bs.current_player.shape[-1]
+        env = jnp.arange(nenv, dtype=_U32)
 
         def cond(carry):
-            s, _, i = carry
-            return (s.result == geo.RESULT_OPEN) & (i < max_moves)
+            s, i = carry
+            return jnp.any(s.result == geo.RESULT_OPEN) & (i < max_moves)
 
         def body(carry):
-            s, key, i = carry
-            key, k = jax.random.split(key)
-            a = sample_legal_action(s, k, board_size)
-            return step(s, board_size, a), key, i + 1
+            s, i = carry
+            open_ = s.result == geo.RESULT_OPEN
+            noise = _hash_u32(
+                seed + _U32(2654435761) * (i.astype(_U32) + _U32(1))
+            ) + env * _U32(0x9E3779B9)
+            a = sample_bits(s, n, noise)
+            nxt = step_bits(s, n, a)
+            # freeze finished envs (their sampled action is garbage)
+            s = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(open_, new, old), nxt, s
+            )
+            return s, i + 1
 
-        final, _, _ = jax.lax.while_loop(cond, body, (state, key, 0))
+        final, _ = jax.lax.while_loop(cond, body, (bs, jnp.int32(0)))
         res = final.result
         return jnp.where(
             res == geo.RESULT_RED_WIN + to_move,
@@ -132,12 +189,17 @@ def rollout_evaluator(board_size: int, rollout_count: int = 1):
             jnp.where(res == geo.RESULT_DRAW, 0.0, -1.0),
         )
 
-    def evaluate(params, state: State, key):
+    def evaluate(params, bs: BitState, key):
         del params
-        keys = jax.random.split(key, rollout_count)
-        vals = jax.vmap(lambda k: one_rollout(state, k))(keys)
-        logits = jnp.zeros((board_size * board_size,), jnp.float32)
-        return logits, vals.mean()
+        total = jnp.zeros(bs.current_player.shape, jnp.float32)
+        for r in range(rollout_count):
+            seed = jax.random.bits(
+                jax.random.fold_in(key, r), dtype=jnp.uint32
+            )
+            total = total + one_rollout(bs, seed)
+        nenv = bs.current_player.shape[-1]
+        logits = jnp.zeros((nenv, n * n), jnp.float32)
+        return logits, total / rollout_count
 
     return evaluate
 
@@ -145,9 +207,9 @@ def rollout_evaluator(board_size: int, rollout_count: int = 1):
 @functools.partial(
     jax.jit, static_argnames=("board_size", "num_simulations", "evaluator")
 )
-def search(
+def search_batch(
     params,
-    state: State,
+    bs: BitState,
     key,
     *,
     evaluator,
@@ -157,87 +219,98 @@ def search(
     dirichlet_alpha: float = 0.3,
     dirichlet_frac: float = 0.25,
 ):
-    """Run MCTS from a (batched) root state.
+    """Run MCTS from a batch of root BitStates (batch-trailing, 1-D batch).
 
-    All arguments are single-env; wrap with ``jax.vmap`` over (params=None,
-    state=0, key=0) for the batched search — network evaluations then batch
-    across envs automatically.
-
-    Returns (visit_probs [A], root_value) — the policy target and value
-    estimate used by self-play.
+    Roots must be non-terminal (self-play's auto-reset guarantees it).
+    Returns (visit_probs [B, A], root_value [B]) — the policy targets and
+    value estimates self-play consumes.
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
-    max_depth = board_size * board_size  # game length bound
+    batch = bs.current_player.shape[-1]
+    assert bs.current_player.ndim == 1, "search_batch wants a 1-D env batch"
+    b_idx = jnp.arange(batch)
 
     key, k_root, k_noise = jax.random.split(key, 3)
-    root_player = jnp.clip(state.current_player, 0, 1)
-    root_legal = legal_mask_flat(state, root_player, board_size)
-    root_logits, root_value = evaluator(params, state, k_root)
+    root_player = jnp.clip(bs.current_player, 0, 1)
+    root_legal = jnp.moveaxis(
+        bit_legal_mask_flat(bs, root_player, board_size), 0, -1
+    )  # [B, A]
+    root_logits, root_value = evaluator(params, bs, k_root)
     noise = jax.random.dirichlet(
-        k_noise, jnp.full((a_dim,), dirichlet_alpha)
+        k_noise, jnp.full((a_dim,), dirichlet_alpha), shape=(batch,)
     )
     root_prior = jax.nn.softmax(
-        jnp.where(root_legal, root_logits, -1e9)
+        jnp.where(root_legal, root_logits, -1e9), axis=-1
     )
     root_prior = jnp.where(
         root_legal,
         (1 - dirichlet_frac) * root_prior + dirichlet_frac * noise,
         0.0,
     )
-    root_prior = root_prior / jnp.maximum(root_prior.sum(), 1e-9)
+    root_prior = root_prior / jnp.maximum(
+        root_prior.sum(-1, keepdims=True), 1e-9
+    )
 
-    def stack_states(s):
+    def alloc_states(s: BitState) -> BitState:
         return jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (nodes,) + x.shape), s
         )
 
     tree = Tree(
-        visit=jnp.zeros((nodes,), jnp.int32).at[0].set(1),
-        value_sum=jnp.zeros((nodes,), jnp.float32).at[0].set(root_value),
-        prior=jnp.zeros((nodes, a_dim), jnp.float32).at[0].set(root_prior),
-        children=jnp.full((nodes, a_dim), NO_NODE),
-        parent=jnp.full((nodes,), NO_NODE),
-        parent_action=jnp.full((nodes,), NO_NODE),
-        legal=jnp.zeros((nodes, a_dim), bool).at[0].set(root_legal),
-        terminal=jnp.zeros((nodes,), bool),
-        terminal_value=jnp.zeros((nodes,), jnp.float32),
-        state=stack_states(state),
+        visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
+        value_sum=jnp.zeros((batch, nodes), jnp.float32)
+        .at[:, 0]
+        .set(root_value),
+        prior=jnp.zeros((batch, nodes, a_dim), jnp.float32)
+        .at[:, 0]
+        .set(root_prior),
+        children=jnp.full((batch, nodes, a_dim), NO_NODE),
+        parent=jnp.full((batch, nodes), NO_NODE),
+        legal=jnp.zeros((batch, nodes, a_dim), bool).at[:, 0].set(root_legal),
+        terminal=jnp.zeros((batch, nodes), bool),
+        terminal_value=jnp.zeros((batch, nodes), jnp.float32),
+        state=alloc_states(bs),
     )
 
     def simulate(sim, tree: Tree):
-        new_node = sim + 1  # next free slot
+        new_node = sim + 1  # next free slot (uniform across the batch)
 
-        # --- selection: walk down until hitting a missing child or terminal
+        # --- selection: all envs walk down in lockstep until each hits a
+        # missing or terminal child ([B] node/action carried per env)
         def sel_cond(carry):
-            node, action, depth = carry
-            kid = tree.children[node, action]
-            return (kid >= 0) & ~tree.terminal[kid] & (depth < max_depth)
+            _, _, can = carry
+            return jnp.any(can)
 
         def sel_body(carry):
-            node, action, depth = carry
-            nxt = tree.children[node, action]
-            scores = _puct_scores(tree, nxt, c_puct)
-            return nxt, jnp.argmax(scores).astype(jnp.int32), depth + 1
+            node, action, can = carry
+            kid = tree.children[b_idx, node, action]               # [B]
+            safe_kid = jnp.maximum(kid, 0)
+            descend = can & (kid >= 0) & ~tree.terminal[b_idx, safe_kid]
+            node = jnp.where(descend, safe_kid, node)
+            scores = _puct_scores(tree, node, c_puct)              # [B, A]
+            action = jnp.where(
+                descend, jnp.argmax(scores, -1).astype(jnp.int32), action
+            )
+            return node, action, descend
 
-        a0 = jnp.argmax(_puct_scores(tree, jnp.int32(0), c_puct)).astype(
+        node0 = jnp.zeros((batch,), jnp.int32)
+        a0 = jnp.argmax(_puct_scores(tree, node0, c_puct), -1).astype(
             jnp.int32
         )
         leaf_parent, action, _ = jax.lax.while_loop(
-            sel_cond, sel_body, (jnp.int32(0), a0, jnp.int32(0))
+            sel_cond, sel_body, (node0, a0, jnp.ones((batch,), bool))
         )
-        existing_kid = tree.children[leaf_parent, action]
-        # Re-visiting a terminal child: no expansion, just back its exact
-        # value up again (standard treatment of terminal leaves).
-        revisit_terminal = existing_kid >= 0
+        existing_kid = tree.children[b_idx, leaf_parent, action]
+        # An existing child here is necessarily terminal (selection only
+        # stops on missing or terminal children): no expansion, just back
+        # its exact value up again.
+        revisit = existing_kid >= 0
 
-        # --- expansion: step the engine from the parent state
-        parent_state = jax.tree_util.tree_map(
-            lambda x: x[leaf_parent], tree.state
-        )
-        child_state = step(parent_state, board_size, action)
+        # --- expansion: one batched bitboard step from the parent states
+        parent_state = _gather_state(tree.state, leaf_parent)
+        child_state = step_bits(parent_state, board_size, action)
         child_terminal = child_state.result != geo.RESULT_OPEN
-        # engine returns: +1 win for the mover == player at parent
         parent_player = jnp.clip(parent_state.current_player, 0, 1)
         res = child_state.result
         term_val = jnp.where(
@@ -248,77 +321,84 @@ def search(
         term_val = jnp.where(child_terminal, term_val, 0.0)
 
         child_player = jnp.clip(child_state.current_player, 0, 1)
-        child_legal = legal_mask_flat(child_state, child_player, board_size)
+        child_legal = jnp.moveaxis(
+            bit_legal_mask_flat(child_state, child_player, board_size), 0, -1
+        )
         logits, value = evaluator(
             params, child_state, jax.random.fold_in(key, sim)
         )
-        prior = jax.nn.softmax(jnp.where(child_legal, logits, -1e9))
-        # leaf value from the perspective of the player to move at the child;
-        # terminal: exact value is from parent's perspective => negate.
-        leaf_value = jnp.where(child_terminal, -term_val, value)
-
-        node_id = jnp.where(revisit_terminal, existing_kid, new_node)
-
-        def write_new(tree: Tree) -> Tree:
-            new_state = jax.tree_util.tree_map(
-                lambda buf, s: buf.at[new_node].set(s),
-                tree.state,
-                child_state,
-            )
-            return tree._replace(
-                prior=tree.prior.at[new_node].set(prior),
-                children=tree.children.at[leaf_parent, action].set(new_node),
-                parent=tree.parent.at[new_node].set(leaf_parent),
-                parent_action=tree.parent_action.at[new_node].set(action),
-                legal=tree.legal.at[new_node].set(child_legal),
-                terminal=tree.terminal.at[new_node].set(child_terminal),
-                terminal_value=tree.terminal_value.at[new_node].set(term_val),
-                state=new_state,
-            )
-
-        tree = jax.lax.cond(
-            revisit_terminal, lambda t: t, write_new, tree
+        prior = jax.nn.softmax(
+            jnp.where(child_legal, logits, -1e9), axis=-1
         )
-        backup_value = jnp.where(
-            revisit_terminal, -tree.terminal_value[node_id], leaf_value
+        # leaf value from the perspective of the player to move at the
+        # child; terminal: exact value is from parent's perspective, negate.
+        backup_value = jnp.where(child_terminal, -term_val, value)
+
+        node_id = jnp.where(revisit, existing_kid, jnp.int32(new_node))
+
+        # Write the new node unconditionally at slot new_node (for revisit
+        # envs the slot holds unlinked garbage — children[leaf_parent,
+        # action] keeps pointing at the existing terminal child).
+        tree = tree._replace(
+            prior=tree.prior.at[:, new_node].set(prior),
+            children=tree.children.at[b_idx, leaf_parent, action].set(
+                node_id
+            ),
+            parent=tree.parent.at[:, new_node].set(leaf_parent),
+            legal=tree.legal.at[:, new_node].set(child_legal),
+            terminal=tree.terminal.at[:, new_node].set(child_terminal),
+            terminal_value=tree.terminal_value.at[:, new_node].set(term_val),
+            state=_set_node_state(tree.state, new_node, child_state),
         )
 
-        # --- backup: value alternates sign walking up
+        # --- backup: all envs walk their parent chains in lockstep,
+        # sign-flipping the value each level (two-player zero-sum)
         def back_cond(carry):
-            node, _, _ = carry
-            return node >= 0
+            node, _, _, _ = carry
+            return jnp.any(node >= 0)
 
         def back_body(carry):
-            node, value, (visit, value_sum) = carry
-            visit = visit.at[node].add(1)
-            value_sum = value_sum.at[node].add(value)
-            return tree.parent[node], -value, (visit, value_sum)
+            node, val, visit, vsum = carry
+            active = node >= 0
+            safe = jnp.maximum(node, 0)
+            visit = visit.at[b_idx, safe].add(
+                jnp.where(active, 1, 0)
+            )
+            vsum = vsum.at[b_idx, safe].add(jnp.where(active, val, 0.0))
+            node = jnp.where(active, tree.parent[b_idx, safe], NO_NODE)
+            return node, -val, visit, vsum
 
-        _, _, (visit, value_sum) = jax.lax.while_loop(
+        _, _, visit, vsum = jax.lax.while_loop(
             back_cond,
             back_body,
-            (node_id, backup_value, (tree.visit, tree.value_sum)),
+            (node_id, backup_value, tree.visit, tree.value_sum),
         )
-        return tree._replace(visit=visit, value_sum=value_sum)
+        return tree._replace(visit=visit, value_sum=vsum)
 
     tree = jax.lax.fori_loop(0, num_simulations, simulate, tree)
 
-    kids = tree.children[0]
-    kid_visits = jnp.where(kids >= 0, tree.visit[jnp.maximum(kids, 0)], 0)
+    kids = tree.children[:, 0]                                    # [B, A]
+    kid_visits = jnp.where(
+        kids >= 0,
+        jnp.take_along_axis(tree.visit, jnp.maximum(kids, 0), axis=1),
+        0,
+    )
     kid_visits = jnp.where(root_legal, kid_visits, 0)
     visit_probs = kid_visits.astype(jnp.float32) / jnp.maximum(
-        kid_visits.sum(), 1
-    )
-    root_q = tree.value_sum[0] / jnp.maximum(tree.visit[0], 1)
+        kid_visits.sum(-1, keepdims=True), 1
+    ).astype(jnp.float32)
+    root_q = tree.value_sum[:, 0] / jnp.maximum(
+        tree.visit[:, 0], 1
+    ).astype(jnp.float32)
     return visit_probs, root_q
 
 
-def batched_search(params, states, keys, **kw):
-    """vmap of :func:`search` over the env batch.
+def batched_search(params, states, key, **kw):
+    """Search from canonical tensor states (ops/state.State, trailing env
+    batch): packs to BitState and runs :func:`search_batch`.
 
-    ``states`` uses the trailing-env-axis layout of ``ops/rollout.py``;
-    ``keys`` has the leading batch axis.  Outputs are batch-leading.
+    Convenience wrapper for hosts that live in the canonical representation
+    (examples/mcts_example.py); the self-play stack stays in BitState and
+    calls :func:`search_batch` directly.
     """
-    return jax.vmap(
-        lambda s, k: search(params, s, k, **kw), in_axes=(-1, 0)
-    )(states, keys)
+    return search_batch(params, from_state(states), key, **kw)

@@ -1,11 +1,14 @@
 """AlphaZero-style self-play + learner loop (BASELINE.json config 5).
 
-Everything is a fixed-shape jitted program:
+Everything is a fixed-shape jitted program running on the BITBOARD engine
+end to end (the rollout hot path's representation — packed u32 bitplanes,
+env batch trailing):
 
   * ``selfplay_chunk``: T lockstep env steps over a [B] batch where each
-    action comes from batched MCTS (models/mcts.py); emits the training
-    tuple (obs, policy target, outcome) with a backward scan assigning each
-    position the final result of its episode (auto-reset keeps envs dense);
+    action comes from the array-of-trees batched MCTS (models/mcts.py);
+    emits the training tuple (obs, policy target, outcome) with a backward
+    scan assigning each position the final result of its episode
+    (auto-reset keeps envs dense);
   * ``train_step``: masked cross-entropy + value MSE on the chunk, optax
     adam; gradients are averaged across the data-parallel mesh by XLA's
     collectives when the batch is sharded (parallel/).
@@ -21,13 +24,12 @@ import jax.numpy as jnp
 import optax
 
 from twixt_for_open_spiel_tpu.ops import geometry as geo
-from twixt_for_open_spiel_tpu.ops.state import State, legal_mask_flat
-from twixt_for_open_spiel_tpu.ops.observe import observation_nchw
-from twixt_for_open_spiel_tpu.ops.rollout import (
-    BATCH_AXIS,
-    batch_size,
-    step_auto_reset,
+from twixt_for_open_spiel_tpu.ops.bitboard import (
+    BitState,
+    bit_legal_mask_flat,
+    bit_step_auto_reset,
 )
+from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
 from twixt_for_open_spiel_tpu.models import mcts
 
 
@@ -48,7 +50,7 @@ class Sample(NamedTuple):
 )
 def selfplay_chunk(
     params,
-    state: State,
+    bs: BitState,
     key,
     *,
     net_apply,
@@ -58,41 +60,39 @@ def selfplay_chunk(
     temperature: float = 1.0,
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
-    (final_state, Sample).
+    (final_bitstate, Sample).
 
-    ``state`` uses the trailing-env-axis batch layout of ``ops/rollout.py``;
+    ``bs`` uses the engine's trailing-env-axis batch layout (1-D batch);
     the emitted Sample is time-major, batch-second ([T, B, ...]) as the
     learner expects.
     """
-    batch = batch_size(state)
+    batch = bs.current_player.shape[-1]
 
     def body(carry, i):
-        state, key = carry
+        bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
-        search_keys = jax.random.split(k_search, batch)
-        probs, root_q = mcts.batched_search(
+        probs, root_q = mcts.search_batch(
             params,
-            state,
-            search_keys,
+            bs,
+            k_search,
             evaluator=mcts.net_evaluator(net_apply, board_size),
             board_size=board_size,
             num_simulations=num_simulations,
         )
-        obs = observation_nchw(state, board_size)
-        player = jnp.clip(state.current_player, 0, 1)
+        obs = bit_observation_nchw(bs, board_size)
+        player = jnp.clip(bs.current_player, 0, 1)
 
-        # temperature sampling over visit counts
+        # temperature sampling over visit counts; illegal actions carry
+        # zero visit mass, but mask explicitly for numerical safety
         logits = jnp.log(jnp.maximum(probs, 1e-9)) / temperature
-        legal = jax.vmap(
-            lambda s, p: legal_mask_flat(s, p, board_size),
-            in_axes=(BATCH_AXIS, 0),
-        )(state, player)
+        legal = jnp.moveaxis(
+            bit_legal_mask_flat(bs, player, board_size), 0, -1
+        )  # [B, A]
         logits = jnp.where(legal, logits, -jnp.inf)
-        act_keys = jax.random.split(k_act, batch)
-        actions = jax.vmap(jax.random.categorical)(act_keys, logits)
+        actions = jax.random.categorical(k_act, logits, axis=-1)
 
-        nxt, done, result = step_auto_reset(
-            state, actions.astype(jnp.int32), board_size
+        nxt, done, result = bit_step_auto_reset(
+            bs, actions.astype(jnp.int32), board_size
         )
         out = {
             "obs": obs,
@@ -103,8 +103,8 @@ def selfplay_chunk(
         }
         return (nxt, key), out
 
-    (final_state, _), tr = jax.lax.scan(
-        body, (state, key), jnp.arange(num_steps)
+    (final_bs, _), tr = jax.lax.scan(
+        body, (bs, key), jnp.arange(num_steps)
     )
 
     # Backward scan: propagate each episode's terminal outcome (red's
@@ -136,7 +136,7 @@ def selfplay_chunk(
         value=value,
         weight=known.astype(jnp.float32),
     )
-    return final_state, sample
+    return final_bs, sample
 
 
 def make_optimizer(lr: float = 2e-3, weight_decay: float = 1e-4):

@@ -488,6 +488,26 @@ def step_bits(bs: BitState, board_size: int, action) -> BitState:
     )
 
 
+def bit_legal_mask_flat(bs: BitState, player, board_size: int) -> jnp.ndarray:
+    """Legal mask over the ``size*size`` action space, ascending action order.
+
+    Bit-domain equivalent of ops/state.legal_mask_flat (reference legal-list
+    semantics, twixtboard.cc:260-275): unpack the player's legal bitplane's
+    inner window.  Returns bool [size*size, *B] (batch trailing, like every
+    board op).
+    """
+    n = board_size
+    sel = jnp.where(
+        jnp.asarray(player) == 0, bs.legal[0], bs.legal[1]
+    )  # [P, *B]
+    core = sel[geo.PAD : geo.PAD + n]  # [n, *B]
+    ys = jnp.arange(geo.PAD, geo.PAD + n, dtype=_U32).reshape(
+        (1, n) + (1,) * (core.ndim - 1)
+    )
+    bits = ((core[:, None] >> ys) & _U32(1)) != 0  # [n, n, *B]
+    return bits.reshape((n * n,) + core.shape[1:])
+
+
 # --- sampling: exact popcount-rank selection on the legal bitplane ---------
 
 
@@ -601,3 +621,38 @@ def bit_random_rollout(seed, board_size: int, num_steps: int, bs: BitState):
         0, num_steps, body, (bs, jnp.int32(0), jnp.zeros((4,), jnp.int32))
     )
     return bs, {"episodes": episodes, "results": results}
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bit_rollout_emit_obs(seed, board_size: int, num_steps: int, bs: BitState):
+    """Lockstep random rollout emitting the observation tensor at EVERY step
+    — the learner-feed workload (BASELINE config 4): each step's observation
+    is materialised to HBM exactly as a learner consumer would read it,
+    batch-leading, in bfloat16 (the learner's input dtype; planes are
+    binary so bf16 is exact — models/network.py casts to bf16 regardless).
+
+    Same transition/RNG as :func:`bit_random_rollout` (reference semantics
+    twixt.cc:101-132 for the tensor, twixtboard.cc:457-499 for the step).
+    Returns (final_state, stats, obs[T, B, 12, n, n-2] bf16).  ``bs`` must
+    carry a 1-D trailing env batch.
+    """
+    from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
+
+    nenv = bs.current_player.shape[-1]
+    env = jnp.arange(nenv, dtype=_U32)
+    seed = jnp.asarray(seed, _U32)
+
+    def body(carry, i):
+        bs, episodes = carry
+        obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
+        noise = _hash_u32(
+            seed + _U32(2654435761) * (i.astype(_U32) + _U32(1))
+        ) + env * _U32(0x9E3779B9)
+        actions = sample_bits(bs, board_size, noise)
+        nxt, done, _ = bit_step_auto_reset(bs, actions, board_size)
+        return (nxt, episodes + jnp.sum(done, dtype=jnp.int32)), obs
+
+    (bs, episodes), obs = jax.lax.scan(
+        body, (bs, jnp.int32(0)), jnp.arange(num_steps)
+    )
+    return bs, {"episodes": episodes}, obs

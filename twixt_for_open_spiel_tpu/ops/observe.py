@@ -85,3 +85,60 @@ def observation_nchw(state: State, board_size: int) -> jnp.ndarray:
     """
     obs = observation(state, board_size)  # [12, n, n-2, B]
     return jnp.moveaxis(obs, -1, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bit_observation(bs, board_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Observation straight from the bitboard state (no canonical detour).
+
+    Same planes/remaps as :func:`observation` (reference twixt.cc:76-132,
+    twixtboard.cc:590-597), computed from the packed planes:
+
+      * planes 1+d / 7+d are exactly the canonical east-direction link planes
+        (links are stored once, at their west endpoint — the same east-side
+        dedup the reference's tensor emission performs, twixt.cc:84-89);
+      * "peg with no links" needs all 8 directions, so the canonical planes
+        are expanded with shifted reads before the OR;
+      * "blocked east neighbors" (mask 15) is the OR of the canonical
+        blocked planes (blocked pairs are recorded on both endpoints in the
+        reference, twixtboard.cc:536-541, so the canonical bit is the east
+        bit).
+
+    Pinned bit-equal to ``observation(to_state(bs))`` by
+    tests/test_bitboard.py.  Returns [12, size, size-2, *B] in ``dtype``
+    (default float32 — the reference's TensorView is float; planes are
+    binary, so bfloat16 is exact and halves learner-feed bandwidth).
+    """
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        _unpack_bool,
+        expand_planes,
+    )
+    from twixt_for_open_spiel_tpu.ops.state import padded_size
+
+    p = padded_size(board_size)
+    red = _unpack_bool(bs.red, p)
+    blue = _unpack_bool(bs.blue, p)
+    east = [_unpack_bool(pl, p) for pl in bs.links]
+    any_link_plane = bs.links[0]
+    for pl in expand_planes(bs.links)[1:]:
+        any_link_plane = any_link_plane | pl
+    has_links = _unpack_bool(any_link_plane, p)
+    blocked_e = _unpack_bool(
+        bs.blocked[0] | bs.blocked[1] | bs.blocked[2] | bs.blocked[3], p
+    )
+
+    planes = []
+    for is_color, view in ((red, _red_view), (blue, _blue_view)):
+        c = view(is_color, board_size)
+        planes.append(c & ~view(has_links, board_size))  # plane 0 / 6
+        for d in range(4):  # planes 1-4 / 7-10
+            planes.append(c & view(east[d], board_size))
+        planes.append(c & view(blocked_e, board_size))  # plane 5 / 11
+    return jnp.stack(planes).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
+    """Batched bitboard observation, network layout [B, 12, size, size-2]."""
+    obs = bit_observation(bs, board_size, dtype)
+    return jnp.moveaxis(obs, -1, 0)

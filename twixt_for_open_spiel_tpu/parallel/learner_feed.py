@@ -22,7 +22,7 @@ from twixt_for_open_spiel_tpu.models.selfplay import (
     loss_fn,
     selfplay_chunk,
 )
-from twixt_for_open_spiel_tpu.ops.rollout import batch_reset
+from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
 from twixt_for_open_spiel_tpu.parallel.mesh import (
     ENV_AXIS,
     make_env_mesh,
@@ -78,9 +78,11 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
 def make_distributed_selfplay(
     net_apply, board_size, num_steps, num_simulations, mesh=None
 ):
-    """(params, state, key) -> (state, sample) with env-sharded state/sample."""
+    """(params, bitstate, key) -> (bitstate, sample) with env-sharded
+    state/sample.  The env state is the bitboard representation throughout
+    (ops/bitboard.BitState, env axis trailing on every leaf)."""
     mesh = mesh or make_env_mesh()
-    state_spec = trailing_env_specs(batch_reset(board_size, 1))
+    state_spec = trailing_env_specs(bit_reset(board_size, 1))
 
     @functools.partial(
         shard_map,
