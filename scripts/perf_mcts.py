@@ -3,7 +3,7 @@
 
 Times on the current backend:
   1. net-only: the policy/value net applied sims+1 times on the full batch
-  2. search with the real net evaluator
+  2. search with the real net evaluator (+ sel/backup iteration counters)
   3. search with a free (zeros) evaluator — tree ops + engine step only
 """
 
@@ -20,11 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from twixt_for_open_spiel_tpu.models import create_net, init_params
-from twixt_for_open_spiel_tpu.models.mcts import (
-    batched_search,
-    net_evaluator,
-)
-from twixt_for_open_spiel_tpu.ops.rollout import batch_reset
+from twixt_for_open_spiel_tpu.models.mcts import net_evaluator, search_batch
+from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
 
 
 def timeit(fn, reps=3):
@@ -44,8 +41,8 @@ def main():
 
     net = create_net(n, channels=ch, blocks=blocks)
     params = init_params(net, jax.random.PRNGKey(0))
-    state = batch_reset(n, batch)
-    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+    bs = bit_reset(n, batch)
+    key = jax.random.PRNGKey(1)
 
     obs = jnp.zeros((batch, 12, n, n - 2), jnp.float32)
 
@@ -61,9 +58,17 @@ def main():
     print(f"net-only ({sims+1} applies):      {dt*1e3:8.1f} ms")
 
     ev = net_evaluator(net.apply, n)
+    p, v, stats = search_batch(
+        params, bs, key, evaluator=ev, board_size=n,
+        num_simulations=sims, return_stats=True,
+    )
+    print(
+        f"iteration counts: sel={int(stats['sel_iters'])} "
+        f"backup={int(stats['backup_iters'])} over {sims} sims"
+    )
     dt = timeit(
-        lambda: batched_search(
-            params, state, keys, evaluator=ev, board_size=n,
+        lambda: search_batch(
+            params, bs, key, evaluator=ev, board_size=n,
             num_simulations=sims,
         )
     )
@@ -71,14 +76,15 @@ def main():
 
     def free_evaluator(params, s, key):
         del params, key
+        b = s.current_player.shape[-1]
         return (
-            jnp.zeros((n * n,), jnp.float32),
-            jnp.float32(0.0),
+            jnp.zeros((b, n * n), jnp.float32),
+            jnp.zeros((b,), jnp.float32),
         )
 
     dt = timeit(
-        lambda: batched_search(
-            params, state, keys, evaluator=free_evaluator, board_size=n,
+        lambda: search_batch(
+            params, bs, key, evaluator=free_evaluator, board_size=n,
             num_simulations=sims,
         )
     )

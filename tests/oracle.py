@@ -12,15 +12,78 @@ citations inline.
 
 from __future__ import annotations
 
-from twixt_for_open_spiel_tpu.ops.geometry import (
-    CROSSERS,
-    OFFSETS,
-    opp_dir,
-)
+from fractions import Fraction
 
 EMPTY, OFFBOARD = 2, 3
 OPEN, RED_WIN, BLUE_WIN, DRAW = 0, 1, 2, 3
 TERMINAL = -4
+
+# The 8 knight-move directions, Compass order (reference twixtcell.h:58-68).
+# Written out here independently of ops/geometry so the oracle shares NO code
+# with the engine under test.
+OFFSETS = [
+    (1, 2),    # NNE
+    (2, 1),    # ENE
+    (2, -1),   # ESE
+    (1, -2),   # SSE
+    (-1, -2),  # SSW
+    (-2, -1),  # WSW
+    (-2, 1),   # WNW
+    (-1, 2),   # NNW
+]
+
+
+def opp_dir(d):
+    return (d + 4) % 8
+
+
+def _open_segments_cross(a, b, c, d):
+    """True iff open segments ab, cd share an interior point.
+
+    Independent algorithm from ops/geometry (which uses orientation sign
+    tests): solve a + t*(b-a) = c + u*(d-c) exactly over the rationals and
+    require 0 < t < 1 and 0 < u < 1.  Parallel segments never properly cross
+    (knight-move segments cannot overlap without being equal).
+    """
+    rx, ry = b[0] - a[0], b[1] - a[1]
+    sx, sy = d[0] - c[0], d[1] - c[1]
+    den = rx * sy - ry * sx
+    if den == 0:
+        return False
+    qpx, qpy = c[0] - a[0], c[1] - a[1]
+    t = Fraction(qpx * sy - qpy * sx, den)
+    u = Fraction(qpx * ry - qpy * rx, den)
+    return 0 < t < 1 and 0 < u < 1
+
+
+def _derive_crossers():
+    """For each direction d: the [(ox, oy, d2)] of links crossing ((0,0), d).
+
+    d2 is restricted to the four east-side directions so every geometric
+    crossing link is listed exactly once (the oracle records links on both
+    endpoints, so probing the east parametrisation always finds it).  This is
+    the oracle's own derivation of the reference kLinkDescriptorTable
+    blocking_links lists (twixtboard.cc:38-144); tests/test_geometry.py pins
+    it against both ops/geometry.CROSSERS and the hand-transcribed reference
+    table, closing the three-way cross-check.
+    """
+    table = []
+    for d in range(8):
+        a, b = (0, 0), OFFSETS[d]
+        entries = []
+        for ox in range(-3, 4):
+            for oy in range(-3, 4):
+                for d2 in range(4):
+                    c = (ox, oy)
+                    e = (ox + OFFSETS[d2][0], oy + OFFSETS[d2][1])
+                    if _open_segments_cross(a, b, c, e):
+                        entries.append((ox, oy, d2))
+        assert len(entries) == 9, (d, entries)
+        table.append(sorted(entries))
+    return table
+
+
+CROSSERS = _derive_crossers()
 
 
 class OracleGame:

@@ -48,6 +48,24 @@ def test_crossers_match_reference_table():
         assert derived == REFERENCE_BLOCKERS[d], geo.DIR_NAMES[d]
 
 
+def test_oracle_crossers_match_engine_and_reference():
+    """Three-way pin: the test oracle's own crossing table (derived by
+    rational intersection-point solving, tests/oracle.py) == the engine's
+    (derived by orientation tests, ops/geometry.py) == the hand-transcribed
+    reference kLinkDescriptorTable (twixtboard.cc:38-144)."""
+    from tests import oracle
+
+    for d in range(geo.NUM_DIRS):
+        own = {(ox, oy, d2) for ox, oy, d2 in oracle.CROSSERS[d]}
+        engine = {
+            (int(ox), int(oy), int(d2)) for ox, oy, d2 in geo.CROSSERS[d]
+        }
+        assert own == engine == REFERENCE_BLOCKERS[d], geo.DIR_NAMES[d]
+    assert [tuple(o) for o in oracle.OFFSETS] == [
+        tuple(int(v) for v in row) for row in geo.OFFSETS
+    ]
+
+
 def test_crossers_count_and_canonical_dirs():
     assert geo.CROSSERS.shape == (8, 9, 3)
     assert set(np.unique(geo.CROSSERS[:, :, 2])) <= {0, 1, 2, 3}

@@ -31,6 +31,41 @@ def test_mesh_has_8_devices():
     assert mesh.axis_names == (ENV_AXIS,)
 
 
+def test_hosts_major_order_mocked_pod():
+    """Unit-test the multi-host env-mesh layout logic without a pod: the
+    device order must be hosts-major (contiguous per-host blocks, hosts in
+    process order, chips in id order) so env-axis collectives do their big
+    combines over ICI and only per-host partials cross DCN."""
+    from twixt_for_open_spiel_tpu.parallel import hosts_major_order
+
+    class Dev:
+        def __init__(self, pid, did):
+            self.process_index, self.id = pid, did
+
+        def __repr__(self):
+            return f"d{self.process_index}.{self.id}"
+
+    # scrambled 4-host x 4-chip pod: global ids interleaved across hosts
+    devs = [Dev(did % 4, did) for did in range(16)]
+    ordered = hosts_major_order(devs)
+    assert [d.process_index for d in ordered] == sorted(
+        d.process_index for d in devs
+    )
+    for host in range(4):
+        block = [d for d in ordered if d.process_index == host]
+        assert [d.id for d in block] == sorted(d.id for d in block)
+        lo = ordered.index(block[0])
+        assert ordered[lo : lo + 4] == block  # contiguous
+
+
+def test_initialize_distributed_single_process_noop():
+    from twixt_for_open_spiel_tpu.parallel import initialize_distributed
+
+    pidx, pcount = initialize_distributed()
+    assert (pidx, pcount) == (jax.process_index(), jax.process_count())
+    assert pcount >= 1
+
+
 def test_sharded_rollout_runs_and_reduces():
     n, b, steps = 5, 64, 32
     rollout, mesh = make_sharded_rollout(n, steps)

@@ -8,6 +8,17 @@ Usage (any mesh size, incl. the virtual 8-device CPU mesh):
     python -m twixt_for_open_spiel_tpu.examples.selfplay_train \
         --board_size=12 --batch=256 --chunk_steps=16 --simulations=64 \
         --iterations=10 --checkpoint_dir=/tmp/twixt_az
+
+Multi-host (N>=2): run the SAME command on every host, adding the cluster
+spec (or export JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID; on Cloud TPU pod slices the flags can be omitted entirely —
+the topology is auto-detected):
+    python -m twixt_for_open_spiel_tpu.examples.selfplay_train \
+        --coordinator=10.0.0.1:8476 --num_processes=4 --process_id=$RANK \
+        --board_size=12 --batch=8192 ...
+``--batch`` is the GLOBAL env batch; the hosts-major env mesh shards it so
+each host steps its local chips' shard and gradient psums do their big
+combines over ICI (parallel/mesh.py).
 """
 
 from __future__ import annotations
@@ -23,6 +34,7 @@ from twixt_for_open_spiel_tpu.models import (
     make_optimizer,
 )
 from twixt_for_open_spiel_tpu.parallel import (
+    initialize_distributed,
     make_distributed_selfplay,
     make_distributed_train_step,
     make_env_mesh,
@@ -43,11 +55,23 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host runs)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    pidx, pcount = initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    is_lead = pidx == 0
 
     n = args.board_size
     mesh = make_env_mesh()
-    print(f"mesh: {mesh} ({mesh.devices.size} devices)")
+    if is_lead:
+        print(
+            f"mesh: {mesh} ({mesh.devices.size} devices, {pcount} hosts)"
+        )
 
     net = create_net(n, channels=args.channels, blocks=args.blocks)
     params = init_params(net, jax.random.PRNGKey(args.seed))
@@ -79,14 +103,15 @@ def main(argv=None):
         jax.block_until_ready(params)
         dt = time.perf_counter() - t0
         frames = args.batch * args.chunk_steps
-        print(
-            f"iter {it}: loss={float(metrics['loss']):.4f} "
-            f"policy={float(metrics['policy_loss']):.4f} "
-            f"value={float(metrics['value_loss']):.4f} "
-            f"train_frames={int(metrics['train_frames'])} "
-            f"({frames / dt:,.0f} mcts-env-steps/s)"
-        )
-        if args.checkpoint_dir:
+        if is_lead:
+            print(
+                f"iter {it}: loss={float(metrics['loss']):.4f} "
+                f"policy={float(metrics['policy_loss']):.4f} "
+                f"value={float(metrics['value_loss']):.4f} "
+                f"train_frames={int(metrics['train_frames'])} "
+                f"({frames / dt:,.0f} mcts-env-steps/s)"
+            )
+        if args.checkpoint_dir and is_lead:
             serialization.save_training(
                 args.checkpoint_dir, params, opt_state, it + 1
             )

@@ -54,9 +54,17 @@ class Tree(NamedTuple):
 
     Stats are batch-leading (``[B, nodes]`` / ``[B, nodes, A]``): tree walks
     gather/scatter along the nodes axis with per-env indices.  Node states
-    are a ``BitState`` whose leaves carry a LEADING ``[nodes]`` axis on top
-    of the engine's batch-trailing layout (plane ``[nodes, P, B]``), so a
-    gathered per-env node state is already in the layout ``step_bits`` eats.
+    are three STACKED buffers with a leading ``[nodes]`` axis over the
+    engine's batch-trailing layout, so one gather (not one per BitState
+    leaf) materialises a per-env node state in the layout ``step_bits``
+    eats.
+
+    Access-pattern discipline (measured on v5e, scripts/perf_mcts_ops*.py):
+    every per-env dynamic read/write is a single-axis ``take_along_axis`` /
+    ``put_along_axis`` (~1 us); coordinate-pair indexing like
+    ``arr[arange(B), node]`` or ``.at[arange(B), node].add()`` lowers to a
+    general scatter/gather HLO costing ~140-240 us FIXED per op — the whole
+    round-1 slowdown (~8.6 ms/sim) was ~50 such ops per simulation.
     """
 
     visit: jnp.ndarray           # int32 [B, nodes]
@@ -69,7 +77,9 @@ class Tree(NamedTuple):
     # value of a terminal node from the perspective of the player to move at
     # its PARENT (the player who took parent_action); 0 for non-terminal.
     terminal_value: jnp.ndarray  # f32 [B, nodes]
-    state: BitState              # node states, leading [nodes] axis per leaf
+    planes: jnp.ndarray          # u32 [nodes, 16, P, B] packed bitplanes
+    compid: jnp.ndarray          # i16 [nodes, N, N, B]
+    scalars: jnp.ndarray         # i32 [nodes, 5, B]
 
 
 def _rows(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
@@ -78,20 +88,99 @@ def _rows(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
 
 
-def _gather_state(state: BitState, node: jnp.ndarray) -> BitState:
-    """Per-env node state: leaves [nodes, ..., B] x node [B] -> [..., B]."""
+def _cell(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
+    """Per-env scalar from [B, nodes] at node [B] -> [B] (TAA form)."""
+    return jnp.take_along_axis(arr, node[:, None], axis=1)[:, 0]
+
+
+def _cell_add(arr, node, delta):
+    """arr[b, node[b]] += delta[b] without a coordinate scatter: per-env the
+    node index is unique, so gather-modify-put is exact."""
+    idx = node[:, None]
+    cur = jnp.take_along_axis(arr, idx, axis=1)
+    return jnp.put_along_axis(
+        arr, idx, cur + delta[:, None], axis=1, inplace=False
+    )
+
+
+def _row_set_cell(arr, node, action, value):
+    """arr[b, node[b], action[b]] = value[b] via row gather + row write."""
+    b, _, a_dim = arr.shape
+    nidx = node[:, None, None]
+    row = jnp.take_along_axis(arr, nidx, axis=1)          # [B, 1, A]
+    row = jnp.put_along_axis(
+        row, action[:, None, None], value[:, None, None], axis=2,
+        inplace=False,
+    )
+    return jnp.put_along_axis(
+        arr, jnp.broadcast_to(nidx, (b, 1, a_dim)), row, axis=1,
+        inplace=False,
+    )
+
+
+# --- stacked node-state buffers <-> BitState ------------------------------
+# plane order: red, blue, links[0..3], blocked[0..3], legal[0..1], flags[0..3]
+
+def _stack_planes(bs: BitState) -> jnp.ndarray:
+    return jnp.stack(
+        (bs.red, bs.blue) + bs.links + bs.blocked + bs.legal + bs.flags
+    )
+
+
+def _stack_scalars(bs: BitState) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            bs.current_player,
+            bs.move_counter,
+            bs.move_one,
+            bs.swapped.astype(jnp.int32),
+            bs.result,
+        ]
+    )
+
+
+def _unstack_bitstate(planes, compid, scalars) -> BitState:
+    return BitState(
+        red=planes[0],
+        blue=planes[1],
+        links=tuple(planes[2 + i] for i in range(4)),
+        blocked=tuple(planes[6 + i] for i in range(4)),
+        legal=(planes[10], planes[11]),
+        flags=tuple(planes[12 + i] for i in range(4)),
+        compid=compid,
+        current_player=scalars[0],
+        move_counter=scalars[1],
+        move_one=scalars[2],
+        swapped=scalars[3].astype(bool),
+        result=scalars[4],
+    )
+
+
+def _gather_node_state(tree: Tree, node: jnp.ndarray) -> BitState:
+    """Per-env node state: three gathers over the stacked buffers."""
 
     def leaf(buf):
         idx = node.reshape((1,) * (buf.ndim - 1) + node.shape)
         return jnp.take_along_axis(buf, idx, axis=0)[0]
 
-    return jax.tree_util.tree_map(leaf, state)
+    return _unstack_bitstate(
+        leaf(tree.planes), leaf(tree.compid), leaf(tree.scalars)
+    )
 
 
-def _set_node_state(state: BitState, node: int, value: BitState) -> BitState:
-    """Write one node slot (uniform index) of the node-state buffers."""
-    return jax.tree_util.tree_map(
-        lambda buf, v: buf.at[node].set(v), state, value
+def _set_node_state(tree: Tree, node, bs: BitState) -> Tree:
+    """Write one node slot (uniform traced index): three DUS writes."""
+    zeros = (0,) * 3
+    return tree._replace(
+        planes=jax.lax.dynamic_update_slice(
+            tree.planes, _stack_planes(bs)[None], (node,) + zeros
+        ),
+        compid=jax.lax.dynamic_update_slice(
+            tree.compid, bs.compid[None], (node,) + zeros
+        ),
+        scalars=jax.lax.dynamic_update_slice(
+            tree.scalars, _stack_scalars(bs)[None], (node,) + (0, 0)
+        ),
     )
 
 
@@ -205,7 +294,10 @@ def rollout_evaluator(board_size: int, rollout_count: int = 1):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("board_size", "num_simulations", "evaluator")
+    jax.jit,
+    static_argnames=(
+        "board_size", "num_simulations", "evaluator", "return_stats"
+    ),
 )
 def search_batch(
     params,
@@ -218,19 +310,22 @@ def search_batch(
     c_puct: float = 1.4,
     dirichlet_alpha: float = 0.3,
     dirichlet_frac: float = 0.25,
+    return_stats: bool = False,
 ):
     """Run MCTS from a batch of root BitStates (batch-trailing, 1-D batch).
 
     Roots must be non-terminal (self-play's auto-reset guarantees it).
     Returns (visit_probs [B, A], root_value [B]) — the policy targets and
-    value estimates self-play consumes.
+    value estimates self-play consumes.  With ``return_stats`` (a separate
+    compile) additionally returns diagnostic counters
+    ``{"sel_iters", "backup_iters"}``: the lockstep selection/backup loops
+    run until the DEEPEST env finishes, so total iterations — not
+    simulation count — set the tree-walk cost.
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
     batch = bs.current_player.shape[-1]
     assert bs.current_player.ndim == 1, "search_batch wants a 1-D env batch"
-    b_idx = jnp.arange(batch)
-
     key, k_root, k_noise = jax.random.split(key, 3)
     root_player = jnp.clip(bs.current_player, 0, 1)
     root_legal = jnp.moveaxis(
@@ -252,10 +347,8 @@ def search_batch(
         root_prior.sum(-1, keepdims=True), 1e-9
     )
 
-    def alloc_states(s: BitState) -> BitState:
-        return jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (nodes,) + x.shape), s
-        )
+    def alloc(x):
+        return jnp.broadcast_to(x[None], (nodes,) + x.shape)
 
     tree = Tree(
         visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
@@ -270,45 +363,49 @@ def search_batch(
         legal=jnp.zeros((batch, nodes, a_dim), bool).at[:, 0].set(root_legal),
         terminal=jnp.zeros((batch, nodes), bool),
         terminal_value=jnp.zeros((batch, nodes), jnp.float32),
-        state=alloc_states(bs),
+        planes=alloc(_stack_planes(bs)),
+        compid=alloc(bs.compid),
+        scalars=alloc(_stack_scalars(bs)),
     )
 
-    def simulate(sim, tree: Tree):
+    def simulate(sim, carry):
+        tree, sel_ct, back_ct = carry
         new_node = sim + 1  # next free slot (uniform across the batch)
 
         # --- selection: all envs walk down in lockstep until each hits a
         # missing or terminal child ([B] node/action carried per env)
         def sel_cond(carry):
-            _, _, can = carry
+            _, _, can, _ = carry
             return jnp.any(can)
 
         def sel_body(carry):
-            node, action, can = carry
-            kid = tree.children[b_idx, node, action]               # [B]
+            node, action, can, ct = carry
+            kid = _cell(_rows(tree.children, node), action)        # [B]
             safe_kid = jnp.maximum(kid, 0)
-            descend = can & (kid >= 0) & ~tree.terminal[b_idx, safe_kid]
+            descend = can & (kid >= 0) & ~_cell(tree.terminal, safe_kid)
             node = jnp.where(descend, safe_kid, node)
             scores = _puct_scores(tree, node, c_puct)              # [B, A]
             action = jnp.where(
                 descend, jnp.argmax(scores, -1).astype(jnp.int32), action
             )
-            return node, action, descend
+            return node, action, descend, ct + 1
 
         node0 = jnp.zeros((batch,), jnp.int32)
         a0 = jnp.argmax(_puct_scores(tree, node0, c_puct), -1).astype(
             jnp.int32
         )
-        leaf_parent, action, _ = jax.lax.while_loop(
-            sel_cond, sel_body, (node0, a0, jnp.ones((batch,), bool))
+        leaf_parent, action, _, sel_ct = jax.lax.while_loop(
+            sel_cond, sel_body,
+            (node0, a0, jnp.ones((batch,), bool), sel_ct),
         )
-        existing_kid = tree.children[b_idx, leaf_parent, action]
+        existing_kid = _cell(_rows(tree.children, leaf_parent), action)
         # An existing child here is necessarily terminal (selection only
         # stops on missing or terminal children): no expansion, just back
         # its exact value up again.
         revisit = existing_kid >= 0
 
         # --- expansion: one batched bitboard step from the parent states
-        parent_state = _gather_state(tree.state, leaf_parent)
+        parent_state = _gather_node_state(tree, leaf_parent)
         child_state = step_bits(parent_state, board_size, action)
         child_terminal = child_state.result != geo.RESULT_OPEN
         parent_player = jnp.clip(parent_state.current_player, 0, 1)
@@ -341,41 +438,41 @@ def search_batch(
         # action] keeps pointing at the existing terminal child).
         tree = tree._replace(
             prior=tree.prior.at[:, new_node].set(prior),
-            children=tree.children.at[b_idx, leaf_parent, action].set(
-                node_id
+            children=_row_set_cell(
+                tree.children, leaf_parent, action, node_id
             ),
             parent=tree.parent.at[:, new_node].set(leaf_parent),
             legal=tree.legal.at[:, new_node].set(child_legal),
             terminal=tree.terminal.at[:, new_node].set(child_terminal),
             terminal_value=tree.terminal_value.at[:, new_node].set(term_val),
-            state=_set_node_state(tree.state, new_node, child_state),
         )
+        tree = _set_node_state(tree, new_node, child_state)
 
         # --- backup: all envs walk their parent chains in lockstep,
         # sign-flipping the value each level (two-player zero-sum)
         def back_cond(carry):
-            node, _, _, _ = carry
+            node, _, _, _, _ = carry
             return jnp.any(node >= 0)
 
         def back_body(carry):
-            node, val, visit, vsum = carry
+            node, val, visit, vsum, ct = carry
             active = node >= 0
             safe = jnp.maximum(node, 0)
-            visit = visit.at[b_idx, safe].add(
-                jnp.where(active, 1, 0)
-            )
-            vsum = vsum.at[b_idx, safe].add(jnp.where(active, val, 0.0))
-            node = jnp.where(active, tree.parent[b_idx, safe], NO_NODE)
-            return node, -val, visit, vsum
+            visit = _cell_add(visit, safe, active.astype(jnp.int32))
+            vsum = _cell_add(vsum, safe, jnp.where(active, val, 0.0))
+            node = jnp.where(active, _cell(tree.parent, safe), NO_NODE)
+            return node, -val, visit, vsum, ct + 1
 
-        _, _, visit, vsum = jax.lax.while_loop(
+        _, _, visit, vsum, back_ct = jax.lax.while_loop(
             back_cond,
             back_body,
-            (node_id, backup_value, tree.visit, tree.value_sum),
+            (node_id, backup_value, tree.visit, tree.value_sum, back_ct),
         )
-        return tree._replace(visit=visit, value_sum=vsum)
+        return tree._replace(visit=visit, value_sum=vsum), sel_ct, back_ct
 
-    tree = jax.lax.fori_loop(0, num_simulations, simulate, tree)
+    tree, sel_ct, back_ct = jax.lax.fori_loop(
+        0, num_simulations, simulate, (tree, jnp.int32(0), jnp.int32(0))
+    )
 
     kids = tree.children[:, 0]                                    # [B, A]
     kid_visits = jnp.where(
@@ -390,6 +487,10 @@ def search_batch(
     root_q = tree.value_sum[:, 0] / jnp.maximum(
         tree.visit[:, 0], 1
     ).astype(jnp.float32)
+    if return_stats:
+        return visit_probs, root_q, {
+            "sel_iters": sel_ct, "backup_iters": back_ct
+        }
     return visit_probs, root_q
 
 

@@ -1,10 +1,12 @@
 from twixt_for_open_spiel_tpu.parallel.mesh import (
     ENV_AXIS,
     env_sharding,
+    hosts_major_order,
     make_env_mesh,
     replicated,
     shard_env_pytree,
 )
+from twixt_for_open_spiel_tpu.parallel.launch import initialize_distributed
 from twixt_for_open_spiel_tpu.parallel.envsharding import (
     make_sharded_bit_rollout,
     make_sharded_rollout,
@@ -19,6 +21,8 @@ from twixt_for_open_spiel_tpu.parallel.learner_feed import (
 __all__ = [
     "ENV_AXIS",
     "env_sharding",
+    "hosts_major_order",
+    "initialize_distributed",
     "make_env_mesh",
     "replicated",
     "shard_env_pytree",

@@ -24,18 +24,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
+def hosts_major_order(devices: Sequence) -> list:
+    """Order devices hosts-major: each host's chips contiguous, hosts in
+    process order, chips in id order within a host.
+
+    For a 1-D env mesh this is exactly the hybrid ICI/DCN layout
+    (``mesh_utils.create_hybrid_device_mesh`` collapsed to one axis): a
+    batch shard's big per-host segment is contiguous over the host's own
+    chips, so the env-axis collectives do their large combines over ICI and
+    only the per-host partials cross DCN.  Pure function of the device
+    list's ``(process_index, id)`` attributes so the multi-host path is
+    unit-testable without a pod (tests/test_sharding.py).
+    """
+    return sorted(
+        devices, key=lambda d: (d.process_index, d.id)
+    )
+
+
 def make_env_mesh(devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
+    """1-D data mesh over all (or the given) devices (hosts-major when the
+    runtime spans multiple processes — see :func:`hosts_major_order`)."""
     devices = list(devices) if devices is not None else jax.devices()
     if jax.process_count() > 1 and len(devices) == jax.device_count():
-        # hosts-major hybrid layout: ICI inside a host, DCN across hosts
-        from jax.experimental import mesh_utils
-
-        per_host = jax.local_device_count()
-        dmesh = mesh_utils.create_hybrid_device_mesh(
-            (per_host,), (jax.process_count(),)
-        )
-        return Mesh(dmesh.reshape(-1), (ENV_AXIS,))
+        return Mesh(np.asarray(hosts_major_order(devices)), (ENV_AXIS,))
     return Mesh(np.asarray(devices), (ENV_AXIS,))
 
 
