@@ -82,9 +82,16 @@ def main():
     state = sharded_bit_reset(n, batch, mesh)
     key = jax.random.PRNGKey(1)
 
-    # warm up / compile
-    state, sample = selfplay(params, state, key)
-    params2, opt_state2, metrics = trainer(params, opt_state, sample)
+    # Warm up / compile with the SAME dataflow as the timed loop: the
+    # trainer's output params flow back into selfplay (their sharding/
+    # commitment differs from freshly-initialised params, so warming up
+    # only the first-iteration signature leaves a recompile inside the
+    # timed region — measured as an 8x slowdown before this feedback).
+    for i in range(2):
+        state, sample = selfplay(
+            params, state, jax.random.fold_in(key, 1000 + i)
+        )
+        params, opt_state, metrics = trainer(params, opt_state, sample)
     _readback(metrics)
 
     reps = 3

@@ -5,23 +5,46 @@ The reference is exercised by OpenSpiel's CPU ``mcts_example``
 TPU-native redesign runs ONE search program over the whole env batch
 ("array of trees"): every tree array carries a leading ``[B]`` axis, every
 phase of every simulation is a full-batch tensor op, and the env batch never
-leaves the engine's lane-major layout:
+leaves the engine's lane-major layout.
 
-  * selection walks all B trees in lockstep (``lax.while_loop`` that ends
-    when every env has reached a leaf) — each iteration is a handful of
-    ``[B, A]`` gathers + one PUCT argmax, not B scalar loops;
-  * expansion steps the BITBOARD engine (ops/bitboard.step_bits) once for
-    the whole batch — node states are stored as packed ``BitState`` buffers
-    with a leading ``[nodes]`` axis and the env batch still trailing, so the
-    expansion step runs at the rollout engine's native throughput;
-  * evaluation is one ``[B]``-batch network call on observations emitted
-    straight from the bitplanes (ops/observe.bit_observation_nchw);
-  * backup walks all B parent chains in lockstep (scatter-adds at
-    ``[B]`` node indices per level).
+Access-pattern discipline (measured on v5e; scripts/perf_mcts_ops4.py and
+docs/PERF.md §self-play).  Real per-op costs — timed by the two-trip-count
+slope method, because the remote-TPU tunnel adds ~26 ms of latency to every
+jitted call and readback, which single-call timings mis-attribute to ops:
 
-This replaces the round-1 design (vmapped per-env search over canonical
-tensor states), whose per-env scalar select/backup loops and per-node
-canonical-State storage bounded self-play at ~500 moves/s; see docs/PERF.md.
+  * elementwise / reductions / DUS / row writes at a uniform traced index:
+    ~1 us;
+  * ``lax.while_loop`` per-iteration overhead: ~1 us (loops are FINE);
+  * dynamic gathers price per INDEX (~10 ns each plus dispatch): a
+    per-env row gather (512 indices) is ~10 us, but any gather whose index
+    set is [B, A]-shaped (74k indices) costs 300-750 us — one such op per
+    walk iteration bounded the round-1/2 searches at ~1 ms/iteration.
+
+Hence the search uses ONLY per-env-scalar ([B, 1]-index) gathers plus dense
+tensor ops; every "read per-env state scattered across node slots" turns
+into one of:
+
+  * child-side best-edge scoring: instead of gathering child stats at the
+    frequented node's action row ([B, A] indices), score every NODE SLOT as
+    a candidate child of the current node in one ``[B, nodes]`` elementwise
+    pass (``parent == node`` masking) — the PUCT argmax over expanded edges
+    becomes a 65-wide reduction, no gather at all;
+  * a single masked-prior array ``uprior`` (prior where legal & unexpanded,
+    -1 otherwise), so the best UNEXPANDED edge needs one row gather, and
+    expanding an edge retires it with a [B, 1]-index scatter on a flat
+    view;
+  * ancestor-bitmask backup: each node stores its root-path set as a
+    boolean row (``amask``), so the whole backup is ``visit += row`` and a
+    sign-alternating ``value_sum`` update — two elementwise ops, no loop;
+  * node BitStates gathered by a masked one-hot sum over the 65 slots
+    (52 us) instead of a minor-axis gather (113 us).
+
+Expansion steps the BITBOARD engine (ops/bitboard.step_bits) once for the
+whole batch — node states are packed ``BitState`` buffers with a leading
+``[nodes]`` axis and the env batch trailing — and evaluation is one
+``[B]``-batch network call on observations emitted straight from the
+bitplanes (ops/observe.bit_observation_nchw, ~330 us/call: the per-sim
+floor).
 
 Simulation count and tree size are static; search never reallocates.
 """
@@ -52,34 +75,30 @@ _U32 = jnp.uint32
 class Tree(NamedTuple):
     """Flat search trees for the whole env batch.
 
-    Stats are batch-leading (``[B, nodes]`` / ``[B, nodes, A]``): tree walks
-    gather/scatter along the nodes axis with per-env indices.  Node states
-    are three STACKED buffers with a leading ``[nodes]`` axis over the
-    engine's batch-trailing layout, so one gather (not one per BitState
-    leaf) materialises a per-env node state in the layout ``step_bits``
-    eats.
-
-    Access-pattern discipline (measured on v5e, scripts/perf_mcts_ops*.py):
-    every per-env dynamic read/write is a single-axis ``take_along_axis`` /
-    ``put_along_axis`` (~1 us); coordinate-pair indexing like
-    ``arr[arange(B), node]`` or ``.at[arange(B), node].add()`` lowers to a
-    general scatter/gather HLO costing ~140-240 us FIXED per op — the whole
-    round-1 slowdown (~8.6 ms/sim) was ~50 such ops per simulation.
+    Stats are batch-leading (``[B, nodes]`` / ``[B, nodes, A]``); node
+    states are stacked buffers with a leading ``[nodes]`` axis over the
+    engine's batch-trailing layout.  ``uprior`` fuses (prior, legal,
+    unexpanded) into one array: ``>= 0`` holds the prior of a legal,
+    not-yet-expanded edge; ``-1`` marks illegal or already-expanded.
     """
 
-    visit: jnp.ndarray           # int32 [B, nodes]
-    value_sum: jnp.ndarray       # f32 [B, nodes]
-    prior: jnp.ndarray           # f32 [B, nodes, A]
-    children: jnp.ndarray        # int32 [B, nodes, A] child node id or -1
-    parent: jnp.ndarray          # int32 [B, nodes]
-    legal: jnp.ndarray           # bool [B, nodes, A]
-    terminal: jnp.ndarray        # bool [B, nodes]
+    visit: jnp.ndarray       # int32 [B, nodes]
+    value_sum: jnp.ndarray   # f32 [B, nodes]
+    uprior: jnp.ndarray      # f32 [B, nodes, A] masked prior (-1 = dead)
+    parent: jnp.ndarray      # int32 [B, nodes]
+    pa: jnp.ndarray          # int32 [B, nodes] action taken at the parent
+    e_prior: jnp.ndarray     # f32 [B, nodes] prior of the edge into a node
+    terminal: jnp.ndarray    # bool [B, nodes]
     # value of a terminal node from the perspective of the player to move at
     # its PARENT (the player who took parent_action); 0 for non-terminal.
-    terminal_value: jnp.ndarray  # f32 [B, nodes]
-    planes: jnp.ndarray          # u32 [nodes, 16, P, B] packed bitplanes
-    compid: jnp.ndarray          # i16 [nodes, N, N, B]
-    scalars: jnp.ndarray         # i32 [nodes, 5, B]
+    tval: jnp.ndarray        # f32 [B, nodes]
+    linked: jnp.ndarray      # bool [B, nodes] slot actually in the tree
+    depth: jnp.ndarray       # int32 [B, nodes]
+    amask: jnp.ndarray       # bool [B, nodes, nodes] root-path set incl self
+    root_child: jnp.ndarray  # int32 [B, A] child node id of root edges / -1
+    planes: jnp.ndarray      # u32 [nodes, 16, P, B] packed bitplanes
+    compid: jnp.ndarray      # i16 [nodes, N, N, B]
+    scalars: jnp.ndarray     # i32 [nodes, 5, B]
 
 
 def _rows(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
@@ -91,31 +110,6 @@ def _rows(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
 def _cell(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
     """Per-env scalar from [B, nodes] at node [B] -> [B] (TAA form)."""
     return jnp.take_along_axis(arr, node[:, None], axis=1)[:, 0]
-
-
-def _cell_add(arr, node, delta):
-    """arr[b, node[b]] += delta[b] without a coordinate scatter: per-env the
-    node index is unique, so gather-modify-put is exact."""
-    idx = node[:, None]
-    cur = jnp.take_along_axis(arr, idx, axis=1)
-    return jnp.put_along_axis(
-        arr, idx, cur + delta[:, None], axis=1, inplace=False
-    )
-
-
-def _row_set_cell(arr, node, action, value):
-    """arr[b, node[b], action[b]] = value[b] via row gather + row write."""
-    b, _, a_dim = arr.shape
-    nidx = node[:, None, None]
-    row = jnp.take_along_axis(arr, nidx, axis=1)          # [B, 1, A]
-    row = jnp.put_along_axis(
-        row, action[:, None, None], value[:, None, None], axis=2,
-        inplace=False,
-    )
-    return jnp.put_along_axis(
-        arr, jnp.broadcast_to(nidx, (b, 1, a_dim)), row, axis=1,
-        inplace=False,
-    )
 
 
 # --- stacked node-state buffers <-> BitState ------------------------------
@@ -157,11 +151,21 @@ def _unstack_bitstate(planes, compid, scalars) -> BitState:
 
 
 def _gather_node_state(tree: Tree, node: jnp.ndarray) -> BitState:
-    """Per-env node state: three gathers over the stacked buffers."""
+    """Per-env node state via a masked one-hot sum over the node axis.
+
+    A take_along_axis on the minor (env) axis lowers to a per-element
+    gather (~113 us); the dense select-and-reduce reads the buffers once
+    (~52 us) and has exactly one hot slot per (position, env).
+    """
+    nodes = tree.planes.shape[0]
 
     def leaf(buf):
-        idx = node.reshape((1,) * (buf.ndim - 1) + node.shape)
-        return jnp.take_along_axis(buf, idx, axis=0)[0]
+        iota = jnp.arange(nodes, dtype=jnp.int32).reshape(
+            (nodes,) + (1,) * (buf.ndim - 1)
+        )
+        oh = node.reshape((1,) * (buf.ndim - 1) + node.shape) == iota
+        zero = jnp.zeros((), buf.dtype)
+        return jnp.where(oh, buf, zero).sum(axis=0, dtype=buf.dtype)
 
     return _unstack_bitstate(
         leaf(tree.planes), leaf(tree.compid), leaf(tree.scalars)
@@ -184,35 +188,49 @@ def _set_node_state(tree: Tree, node, bs: BitState) -> Tree:
     )
 
 
-def _puct_scores(tree: Tree, node: jnp.ndarray, c_puct) -> jnp.ndarray:
-    """PUCT score of every action at each env's ``node`` ([B] -> [B, A])."""
-    kids = _rows(tree.children, node)                       # [B, A]
-    kid_valid = kids >= 0
-    safe = jnp.maximum(kids, 0)
-    child_visit = jnp.where(
-        kid_valid, jnp.take_along_axis(tree.visit, safe, axis=1), 0
-    )
-    child_vsum = jnp.where(
-        kid_valid, jnp.take_along_axis(tree.value_sum, safe, axis=1), 0.0
-    )
-    # child value stored from child's-player perspective; parent wants -Q
+def _best_edge(tree: Tree, node: jnp.ndarray, c_puct):
+    """Best PUCT edge at each env's ``node``: (action, kid, kid_term).
+
+    ``kid`` is the chosen child slot (-1 when the best edge is unexpanded);
+    ``kid_term`` marks a chosen terminal child.  Expanded edges are scored
+    CHILD-SIDE: one ``[B, nodes]`` elementwise pass masks the slots whose
+    ``parent`` is the current node, so no [B, A]-index gather exists.
+    """
+    up_row = _rows(tree.uprior, node)                       # [B, A]
+    tot = _cell(tree.visit, node)
+    sq = jnp.sqrt(jnp.maximum(tot, 1).astype(jnp.float32))  # [B]
+
+    # unexpanded edges: masked prior row (-1 = illegal or expanded)
+    sc_u = jnp.where(up_row >= 0, c_puct * up_row * sq[:, None], -jnp.inf)
+    bu_s = sc_u.max(-1)
+    bu_a = jnp.argmax(sc_u, -1).astype(jnp.int32)
+
+    # expanded edges, child-side over all node slots
+    valid = tree.linked & (tree.parent == node[:, None])    # [B, nodes]
+    # child value stored from child's-player perspective; parent wants -Q.
+    # terminal children have exact value from parent's perspective.
     q = jnp.where(
-        child_visit > 0, -child_vsum / jnp.maximum(child_visit, 1), 0.0
+        tree.terminal,
+        tree.tval,
+        -tree.value_sum / jnp.maximum(tree.visit, 1).astype(jnp.float32),
     )
-    # terminal children have exact value from parent's perspective
-    q = jnp.where(
-        kid_valid & jnp.take_along_axis(tree.terminal, safe, axis=1),
-        jnp.take_along_axis(tree.terminal_value, safe, axis=1),
-        q,
+    u = c_puct * tree.e_prior * sq[:, None] / (
+        1.0 + tree.visit.astype(jnp.float32)
     )
-    total = _rows(tree.visit, node)                          # [B]
-    u = (
-        c_puct
-        * _rows(tree.prior, node)
-        * jnp.sqrt(jnp.maximum(total, 1).astype(jnp.float32))[:, None]
-        / (1.0 + child_visit.astype(jnp.float32))
-    )
-    return jnp.where(_rows(tree.legal, node), q + u, -jnp.inf)
+    sc_c = jnp.where(valid, q + u, -jnp.inf)
+    bc_s = sc_c.max(-1)
+    c_star = jnp.argmax(sc_c, -1).astype(jnp.int32)
+    bc_a = _cell(tree.pa, c_star)
+    bc_t = _cell(tree.terminal, c_star)
+
+    # tie between an expanded and an unexpanded edge -> lower action index
+    # (the round-2 argmax-over-actions order); ties among expanded children
+    # break by creation order (lowest slot).
+    expanded_wins = (bc_s > bu_s) | ((bc_s == bu_s) & (bc_a < bu_a))
+    action = jnp.where(expanded_wins, bc_a, bu_a)
+    kid = jnp.where(expanded_wins, c_star, NO_NODE)
+    kid_term = expanded_wins & bc_t
+    return action, kid, kid_term
 
 
 @functools.lru_cache(maxsize=None)
@@ -317,10 +335,10 @@ def search_batch(
     Roots must be non-terminal (self-play's auto-reset guarantees it).
     Returns (visit_probs [B, A], root_value [B]) — the policy targets and
     value estimates self-play consumes.  With ``return_stats`` (a separate
-    compile) additionally returns diagnostic counters
-    ``{"sel_iters", "backup_iters"}``: the lockstep selection/backup loops
-    run until the DEEPEST env finishes, so total iterations — not
-    simulation count — set the tree-walk cost.
+    compile) additionally returns diagnostic counters ``{"sel_iters",
+    "backup_iters"}``: total lockstep selection-walk iterations (the walks
+    run until the DEEPEST env finishes) and 0 — backup is loop-free
+    (ancestor-mask update).
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
@@ -350,55 +368,55 @@ def search_batch(
     def alloc(x):
         return jnp.broadcast_to(x[None], (nodes,) + x.shape)
 
+    iota_n = jnp.arange(nodes, dtype=jnp.int32)
     tree = Tree(
         visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
         value_sum=jnp.zeros((batch, nodes), jnp.float32)
         .at[:, 0]
         .set(root_value),
-        prior=jnp.zeros((batch, nodes, a_dim), jnp.float32)
+        uprior=jnp.full((batch, nodes, a_dim), -1.0, jnp.float32)
         .at[:, 0]
-        .set(root_prior),
-        children=jnp.full((batch, nodes, a_dim), NO_NODE),
+        .set(jnp.where(root_legal, root_prior, -1.0)),
         parent=jnp.full((batch, nodes), NO_NODE),
-        legal=jnp.zeros((batch, nodes, a_dim), bool).at[:, 0].set(root_legal),
+        pa=jnp.zeros((batch, nodes), jnp.int32),
+        e_prior=jnp.zeros((batch, nodes), jnp.float32),
         terminal=jnp.zeros((batch, nodes), bool),
-        terminal_value=jnp.zeros((batch, nodes), jnp.float32),
+        tval=jnp.zeros((batch, nodes), jnp.float32),
+        linked=jnp.zeros((batch, nodes), bool).at[:, 0].set(True),
+        depth=jnp.zeros((batch, nodes), jnp.int32),
+        amask=jnp.zeros((batch, nodes, nodes), bool).at[:, 0, 0].set(True),
+        root_child=jnp.full((batch, a_dim), NO_NODE),
         planes=alloc(_stack_planes(bs)),
         compid=alloc(bs.compid),
         scalars=alloc(_stack_scalars(bs)),
     )
 
     def simulate(sim, carry):
-        tree, sel_ct, back_ct = carry
+        tree, sel_ct = carry
         new_node = sim + 1  # next free slot (uniform across the batch)
 
-        # --- selection: all envs walk down in lockstep until each hits a
-        # missing or terminal child ([B] node/action carried per env)
+        # --- selection: all envs walk down in lockstep until each env's
+        # best edge is unexpanded or leads to a terminal child
         def sel_cond(carry):
-            _, _, can, _ = carry
+            _, _, _, _, can, _ = carry
             return jnp.any(can)
 
         def sel_body(carry):
-            node, action, can, ct = carry
-            kid = _cell(_rows(tree.children, node), action)        # [B]
-            safe_kid = jnp.maximum(kid, 0)
-            descend = can & (kid >= 0) & ~_cell(tree.terminal, safe_kid)
-            node = jnp.where(descend, safe_kid, node)
-            scores = _puct_scores(tree, node, c_puct)              # [B, A]
-            action = jnp.where(
-                descend, jnp.argmax(scores, -1).astype(jnp.int32), action
-            )
-            return node, action, descend, ct + 1
+            node, action, kid, kid_term, can, ct = carry
+            descend = can & (kid >= 0) & ~kid_term
+            node = jnp.where(descend, jnp.maximum(kid, 0), node)
+            a, k, kt = _best_edge(tree, node, c_puct)
+            action = jnp.where(descend, a, action)
+            kid = jnp.where(descend, k, kid)
+            kid_term = jnp.where(descend, kt, kid_term)
+            return node, action, kid, kid_term, descend, ct + 1
 
         node0 = jnp.zeros((batch,), jnp.int32)
-        a0 = jnp.argmax(_puct_scores(tree, node0, c_puct), -1).astype(
-            jnp.int32
-        )
-        leaf_parent, action, _, sel_ct = jax.lax.while_loop(
+        a0, k0, kt0 = _best_edge(tree, node0, c_puct)
+        leaf_parent, action, existing_kid, _, _, sel_ct = jax.lax.while_loop(
             sel_cond, sel_body,
-            (node0, a0, jnp.ones((batch,), bool), sel_ct),
+            (node0, a0, k0, kt0, jnp.ones((batch,), bool), sel_ct),
         )
-        existing_kid = _cell(_rows(tree.children, leaf_parent), action)
         # An existing child here is necessarily terminal (selection only
         # stops on missing or terminal children): no expansion, just back
         # its exact value up again.
@@ -433,53 +451,72 @@ def search_batch(
 
         node_id = jnp.where(revisit, existing_kid, jnp.int32(new_node))
 
-        # Write the new node unconditionally at slot new_node (for revisit
-        # envs the slot holds unlinked garbage — children[leaf_parent,
-        # action] keeps pointing at the existing terminal child).
+        # Write the new node unconditionally at slot new_node; for revisit
+        # envs the slot holds unlinked garbage (linked=False keeps it out of
+        # every child-side pass, and no edge retires in uprior — the chosen
+        # edge was already retired when the existing child was created).
+        parent_row = _rows(tree.uprior, leaf_parent)            # [B, A]
+        e_prior_new = _cell(
+            parent_row, action
+        )  # prior of the expanded edge (>= 0: it was live)
+        parent_amask = _rows(tree.amask, leaf_parent)           # [B, nodes]
+        parent_depth = _cell(tree.depth, leaf_parent)
+        onehot_a = action[:, None] == jnp.arange(a_dim, dtype=jnp.int32)
+
+        # retire the expanded edge: -1 at (leaf_parent, action) on a flat
+        # view ([B, 1]-index scatter; a no-op re-retire for revisit envs)
+        up_flat = tree.uprior.reshape(batch, nodes * a_dim)
+        up_flat = jnp.put_along_axis(
+            up_flat,
+            (leaf_parent * a_dim + action)[:, None],
+            -1.0,
+            axis=1,
+            inplace=False,
+        )
         tree = tree._replace(
-            prior=tree.prior.at[:, new_node].set(prior),
-            children=_row_set_cell(
-                tree.children, leaf_parent, action, node_id
-            ),
+            uprior=up_flat.reshape(batch, nodes, a_dim)
+            .at[:, new_node]
+            .set(jnp.where(child_legal, prior, -1.0)),
             parent=tree.parent.at[:, new_node].set(leaf_parent),
-            legal=tree.legal.at[:, new_node].set(child_legal),
+            pa=tree.pa.at[:, new_node].set(action),
+            e_prior=tree.e_prior.at[:, new_node].set(e_prior_new),
             terminal=tree.terminal.at[:, new_node].set(child_terminal),
-            terminal_value=tree.terminal_value.at[:, new_node].set(term_val),
+            tval=tree.tval.at[:, new_node].set(term_val),
+            linked=tree.linked.at[:, new_node].set(~revisit),
+            depth=tree.depth.at[:, new_node].set(parent_depth + 1),
+            amask=tree.amask.at[:, new_node].set(
+                parent_amask | (iota_n == new_node)
+            ),
+            root_child=jnp.where(
+                (~revisit & (leaf_parent == 0))[:, None] & onehot_a,
+                jnp.int32(new_node),
+                tree.root_child,
+            ),
         )
         tree = _set_node_state(tree, new_node, child_state)
 
-        # --- backup: all envs walk their parent chains in lockstep,
-        # sign-flipping the value each level (two-player zero-sum)
-        def back_cond(carry):
-            node, _, _, _, _ = carry
-            return jnp.any(node >= 0)
-
-        def back_body(carry):
-            node, val, visit, vsum, ct = carry
-            active = node >= 0
-            safe = jnp.maximum(node, 0)
-            visit = _cell_add(visit, safe, active.astype(jnp.int32))
-            vsum = _cell_add(vsum, safe, jnp.where(active, val, 0.0))
-            node = jnp.where(active, _cell(tree.parent, safe), NO_NODE)
-            return node, -val, visit, vsum, ct + 1
-
-        _, _, visit, vsum, back_ct = jax.lax.while_loop(
-            back_cond,
-            back_body,
-            (node_id, backup_value, tree.visit, tree.value_sum, back_ct),
+        # --- backup: ancestor-mask update, loop-free.  Every node on the
+        # leaf's root path gains a visit; values alternate sign by depth
+        # (two-player zero-sum), anchored at +backup_value on the leaf.
+        path = _rows(tree.amask, node_id)                       # [B, nodes]
+        leaf_depth = _cell(tree.depth, node_id)
+        sign = 1.0 - 2.0 * jnp.bitwise_and(
+            leaf_depth[:, None] - tree.depth, 1
+        ).astype(jnp.float32)
+        tree = tree._replace(
+            visit=tree.visit + path.astype(jnp.int32),
+            value_sum=tree.value_sum
+            + jnp.where(path, backup_value[:, None] * sign, 0.0),
         )
-        return tree._replace(visit=visit, value_sum=vsum), sel_ct, back_ct
+        return tree, sel_ct
 
-    tree, sel_ct, back_ct = jax.lax.fori_loop(
-        0, num_simulations, simulate, (tree, jnp.int32(0), jnp.int32(0))
+    tree, sel_ct = jax.lax.fori_loop(
+        0, num_simulations, simulate, (tree, jnp.int32(0))
     )
 
-    kids = tree.children[:, 0]                                    # [B, A]
-    kid_visits = jnp.where(
-        kids >= 0,
-        jnp.take_along_axis(tree.visit, jnp.maximum(kids, 0), axis=1),
-        0,
-    )
+    # root visit counts, child-side: one dense select over the node axis
+    oh = tree.root_child[..., None] == iota_n                 # [B, A, nodes]
+    kid_visits = jnp.where(oh, tree.visit[:, None, :], 0).sum(-1)
     kid_visits = jnp.where(root_legal, kid_visits, 0)
     visit_probs = kid_visits.astype(jnp.float32) / jnp.maximum(
         kid_visits.sum(-1, keepdims=True), 1
@@ -489,7 +526,7 @@ def search_batch(
     ).astype(jnp.float32)
     if return_stats:
         return visit_probs, root_q, {
-            "sel_iters": sel_ct, "backup_iters": back_ct
+            "sel_iters": sel_ct, "backup_iters": jnp.int32(0)
         }
     return visit_probs, root_q
 
