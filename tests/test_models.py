@@ -193,3 +193,45 @@ def test_selfplay_policy_targets_match_engine_legality():
     mc = np.asarray(final.move_counter)
     assert mc.shape == (b,)
     assert np.all(mc >= 0)  # auto-reset may have wrapped; just well-formed
+
+
+def test_arena_mcts_beats_random(params):
+    # Strength sanity for the batched arena: a 16-sim search with a
+    # constant-evaluation net must dominate a uniform-random opponent on
+    # board 5 (terminal detection alone wins races), with colors
+    # alternating by env so first-move advantage cancels.
+    from twixt_for_open_spiel_tpu.models import arena_match
+
+    out = arena_match(
+        params,
+        params,
+        jax.random.PRNGKey(3),
+        net_apply=_uniform_net,
+        board_size=N,
+        batch=24,
+        num_simulations=16,
+        temp_moves=2,
+        random_b=True,
+    )
+    score = float(out["a_score"])
+    assert int(out["a_wins"]) + int(out["b_wins"]) + int(out["draws"]) == 24
+    assert score > 0.6, out
+
+
+def test_arena_self_match_is_balanced(params):
+    # A vs A (identical nets): alternating colors must keep the match
+    # roughly balanced; also exercises the dual-net leaf dispatch.
+    from twixt_for_open_spiel_tpu.models import arena_match
+
+    out = arena_match(
+        params,
+        params,
+        jax.random.PRNGKey(4),
+        net_apply=_uniform_net,
+        board_size=N,
+        batch=32,
+        num_simulations=8,
+        temp_moves=4,
+    )
+    score = float(out["a_score"])
+    assert 0.15 <= score <= 0.85, out

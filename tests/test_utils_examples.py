@@ -82,3 +82,21 @@ def test_mcts_example_runner(capsys):
     )
     out = capsys.readouterr().out
     assert "Returns:" in out
+
+
+def test_arena_example_runner(capsys):
+    from twixt_for_open_spiel_tpu.examples import arena
+
+    arena.main(
+        [
+            "--board_size=5",
+            "--batch=4",
+            "--simulations=4",
+            "--channels=16",
+            "--blocks=1",
+            "--temp_moves=2",
+            "--random_b",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "A score" in out

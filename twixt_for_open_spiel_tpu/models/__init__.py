@@ -4,6 +4,7 @@ from twixt_for_open_spiel_tpu.models.network import (
     init_params,
     masked_policy,
 )
+from twixt_for_open_spiel_tpu.models.arena import arena_match
 from twixt_for_open_spiel_tpu.models.mcts import batched_search, search_batch
 from twixt_for_open_spiel_tpu.models.selfplay import (
     Sample,
@@ -18,6 +19,7 @@ __all__ = [
     "create_net",
     "init_params",
     "masked_policy",
+    "arena_match",
     "batched_search",
     "search_batch",
     "Sample",

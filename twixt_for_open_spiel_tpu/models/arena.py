@@ -1,0 +1,174 @@
+"""Batched arena: head-to-head strength evaluation for trained nets.
+
+The OpenSpiel ecosystem evaluates agents by playing matches through the
+State API one game at a time (e.g. ``mcts_example``'s two-bot loop,
+reference README.md:38-40); the TPU-native equivalent plays a whole BATCH
+of games in lockstep on the bitboard engine, with one array-of-trees MCTS
+per move for all boards at once.
+
+Both sides share one search program per move: the leaf evaluator holds both
+parameter trees and dispatches per ENV on whose turn it is at the LEAF
+state (colors alternate by env so first-move advantage cancels), so the
+tree work is paid once and only the network is evaluated for both sides.
+
+Openings are diversified by sampling the first ``temp_moves`` plies from
+the visit distribution (per-env RNG); play is argmax thereafter.  Dirichlet
+noise is off — arena play is evaluation, not exploration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from twixt_for_open_spiel_tpu.models import mcts
+from twixt_for_open_spiel_tpu.ops import geometry as geo
+from twixt_for_open_spiel_tpu.ops.bitboard import (
+    bit_legal_mask_flat,
+    bit_reset,
+    sample_bits,
+    step_bits,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _dual_net_evaluator(net_apply, board_size: int):
+    """Evaluator dispatching between two nets by the leaf's mover.
+
+    ``params`` is ``(params_a, params_b, a_is_red)`` where ``a_is_red`` is
+    a [B] bool.  Side A evaluates every leaf whose player-to-move is A's
+    color; works at any tree depth because the dispatch looks at the leaf
+    state itself, not the root.
+    """
+    base = mcts.net_evaluator(net_apply, board_size)
+
+    def evaluate(params, bs, key):
+        params_a, params_b, a_is_red = params
+        logits_a, value_a = base(params_a, bs, key)
+        logits_b, value_b = base(params_b, bs, key)
+        mover = jnp.clip(bs.current_player, 0, 1)
+        use_a = (mover == 0) == a_is_red                      # [B]
+        logits = jnp.where(use_a[:, None], logits_a, logits_b)
+        value = jnp.where(use_a, value_a, value_b)
+        return logits, value
+
+    return evaluate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "net_apply", "board_size", "batch", "num_simulations", "temp_moves",
+        "random_b",
+    ),
+)
+def arena_match(
+    params_a,
+    params_b,
+    key,
+    *,
+    net_apply,
+    board_size: int,
+    batch: int,
+    num_simulations: int,
+    temp_moves: int = 6,
+    c_puct: float = 1.4,
+    random_b: bool = False,
+):
+    """Play ``batch`` lockstep games of A vs B; returns the tally.
+
+    Colors alternate by env (A is red in even envs).  Each move runs ONE
+    batched search over every still-open board with the dual-net evaluator;
+    finished boards are frozen (their slot searches a dummy reset state so
+    the lockstep program stays well-formed, and the step is discarded).
+
+    With ``random_b`` side B ignores the search and plays uniform random
+    legal moves (the baseline OpenSpiel's random bot provides).
+
+    Returns ``{"a_wins", "b_wins", "draws", "games", "a_score"}`` —
+    ``a_score`` is the match score with draws counting half.
+    """
+    n = board_size
+    a_is_red = (jnp.arange(batch, dtype=jnp.int32) % 2) == 0
+    bs = bit_reset(n, batch)
+    dummy = bit_reset(n, batch)
+    evaluator = _dual_net_evaluator(net_apply, n)
+    max_moves = n * n - 3 + 1  # MaxGameLength (reference twixt.h:131)
+
+    def cond(carry):
+        bs, move, key = carry
+        return jnp.any(bs.result == geo.RESULT_OPEN) & (move < max_moves)
+
+    def body(carry):
+        bs, move, key = carry
+        key, k_search, k_act = jax.random.split(key, 3)
+        open_ = bs.result == geo.RESULT_OPEN
+        safe = jax.tree_util.tree_map(
+            lambda live, d: jnp.where(
+                jnp.broadcast_to(open_, live.shape), live, d
+            ),
+            bs,
+            dummy,
+        )
+        probs, _ = mcts.search_batch(
+            (params_a, params_b, a_is_red),
+            safe,
+            k_search,
+            evaluator=evaluator,
+            board_size=n,
+            num_simulations=num_simulations,
+            c_puct=c_puct,
+            dirichlet_frac=0.0,
+        )
+        player = jnp.clip(safe.current_player, 0, 1)
+        legal = jnp.moveaxis(bit_legal_mask_flat(safe, player, n), 0, -1)
+        logits = jnp.where(legal, jnp.log(jnp.maximum(probs, 1e-9)), -jnp.inf)
+        sampled = jax.random.categorical(k_act, logits, axis=-1).astype(
+            jnp.int32
+        )
+        greedy = jnp.argmax(jnp.where(legal, probs, -1.0), -1).astype(
+            jnp.int32
+        )
+        action = jnp.where(move < temp_moves, sampled, greedy)
+        if random_b:
+            b_to_move = (player == 0) != a_is_red
+            noise = jax.random.bits(
+                k_act, dtype=jnp.uint32
+            ) + jnp.arange(batch, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+            rand_action = sample_bits(safe, n, noise)
+            action = jnp.where(b_to_move, rand_action, action)
+        nxt = step_bits(safe, n, action)
+        bs = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                jnp.broadcast_to(open_, new.shape), new, old
+            ),
+            nxt,
+            bs,
+        )
+        return bs, move + 1, key
+
+    bs, moves, _ = jax.lax.while_loop(
+        cond, body, (bs, jnp.int32(0), key)
+    )
+
+    res = bs.result
+    a_win = ((res == geo.RESULT_RED_WIN) & a_is_red) | (
+        (res == geo.RESULT_BLUE_WIN) & ~a_is_red
+    )
+    b_win = ((res == geo.RESULT_BLUE_WIN) & a_is_red) | (
+        (res == geo.RESULT_RED_WIN) & ~a_is_red
+    )
+    draw = (res == geo.RESULT_DRAW) | (res == geo.RESULT_OPEN)
+    a_wins = jnp.sum(a_win, dtype=jnp.int32)
+    b_wins = jnp.sum(b_win, dtype=jnp.int32)
+    draws = jnp.sum(draw, dtype=jnp.int32)
+    return {
+        "a_wins": a_wins,
+        "b_wins": b_wins,
+        "draws": draws,
+        "games": jnp.int32(batch),
+        "moves": moves,
+        "a_score": (a_wins + 0.5 * draws) / batch,
+    }
