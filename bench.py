@@ -55,8 +55,15 @@ def _readback(out):
     return np.asarray(out[1]["episodes"]).ravel()[0]
 
 
-def bench_rollout(board_size, batch, steps, tile=None):
-    """Random-rollout throughput (no obs): fused Pallas on TPU, XLA on CPU."""
+def bench_rollout(board_size, batch, steps, tile=None, reps=3):
+    """Random-rollout throughput (no obs): fused Pallas on TPU, XLA on CPU.
+
+    ``reps`` asynchronous launches are timed against ONE device->host
+    readback: the tunnel's fixed ~26 ms round-trip latency must be
+    amortised over enough launches or it dominates the measurement (a
+    3-launch timing under-reported the board-8 row by ~2x;
+    docs/PERF.md §Measurement methodology).
+    """
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_random_rollout,
         bit_reset,
@@ -82,7 +89,6 @@ def bench_rollout(board_size, batch, steps, tile=None):
     out = run_j(0, state)  # compile + warm up
     _readback(out)
     t0 = time.perf_counter()
-    reps = 3
     for i in range(reps):
         out = run_j(i + 1, state)
     _readback(out)
@@ -102,12 +108,13 @@ def bench_rollout_obs(board_size, batch, chunk, launches):
     """Rollout throughput INCLUDING per-step obs emission (config 4).
 
     Each launch scans ``chunk`` steps, materialising every step's
-    observation tensor ([chunk, B, 12, n, n-2] bf16) to HBM; an on-device
-    checksum then reads the whole buffer back, so emission can't be elided.
-    Only scalars cross the host boundary, keeping launches pipelined.
+    observation tensor ([chunk, B, 12, n, n-2] bf16) to HBM exactly as a
+    learner consumer would read it.  The tensor is a jit OUTPUT, so XLA
+    must fully materialise it (the earlier on-device checksum design both
+    allowed the stacked buffer to fuse away AND re-read every byte it did
+    write); only scalar stats cross the host boundary, keeping launches
+    pipelined, with ONE readback amortising the tunnel latency.
     """
-    import jax.numpy as jnp
-
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_reset,
         bit_rollout_emit_obs,
@@ -120,20 +127,19 @@ def bench_rollout_obs(board_size, batch, chunk, launches):
         state, stats, obs = bit_rollout_emit_obs(
             seed, board_size, chunk, state
         )
-        return state, stats, obs.astype(jnp.float32).sum()
+        return state, stats, obs
 
     state_w, out_stats, _ = run(0, state)  # compile + warm up
     _readback((None, out_stats))
     t0 = time.perf_counter()
-    reps = 2
-    for r in range(reps):
-        st = state
-        for i in range(launches):
-            st, stats, chk = run(r * launches + i + 1, st)
-        _readback((None, stats))
+    st = state
+    for i in range(launches):
+        st, stats, obs = run(i + 1, st)
+        del obs  # stays on device; freed once the next launch overwrites
+    _readback((None, stats))  # ONE readback: amortise the tunnel latency
     dt = time.perf_counter() - t0
     steps = chunk * launches
-    rate = batch * steps * reps / dt
+    rate = batch * steps / dt
     print(
         f"[bench] n={board_size} batch={batch} steps={steps} obs=PER-STEP"
         f" (bf16 emit+checksum) path=xla -> {rate:,.0f} env-steps/s"
@@ -149,17 +155,21 @@ def main():
     on_tpu = backend not in ("cpu",)
     steps = 1000 if on_tpu else 20
 
+    # reps per config: enough launches that device compute is >= ~10x the
+    # fixed ~26 ms tunnel readback latency (faster configs need more).
     # config 2: minimal board
-    bench_rollout(5, 256, steps, tile=256)
+    bench_rollout(5, 256, steps, tile=256, reps=300 if on_tpu else 3)
     # the driver metric point: board_size=8, batch 4096
-    headline = bench_rollout(8, 4096, steps, tile=4096)
+    headline = bench_rollout(
+        8, 4096, steps, tile=4096, reps=60 if on_tpu else 3
+    )
     # config 3: headline board of the perf ladder
-    bench_rollout(12, 4096, steps, tile=4096)
+    bench_rollout(12, 4096, steps, tile=4096, reps=60 if on_tpu else 3)
     # the metric string's second size: board_size=24, batch 4096
-    bench_rollout(24, 4096, steps, tile=2048)
+    bench_rollout(24, 4096, steps, tile=2048, reps=30 if on_tpu else 3)
     # config 4: max board, batch 8192, PER-STEP obs emission (learner feed)
     if on_tpu:
-        bench_rollout_obs(24, 8192, chunk=16, launches=16)
+        bench_rollout_obs(24, 8192, chunk=16, launches=128)
     else:
         bench_rollout_obs(24, 64, chunk=4, launches=2)
 

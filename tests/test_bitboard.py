@@ -170,3 +170,37 @@ def test_bit_observation_and_legal_mask_match_canonical(n):
             np.asarray(observation(s, n)),
             err_msg=f"obs n={n} mv={mv}",
         )
+
+
+@pytest.mark.parametrize("n", [5, 8, 12, 24])
+def test_bit_observation_nchw_packed_transpose_path(n):
+    """The packed-transpose batch-leading emission (the learner-feed fast
+    path in ops/observe.bit_observation_nchw) must be bit-identical to
+    moveaxis(bit_observation(...)) on random mid-game batches, in both f32
+    and bf16."""
+    import jax.numpy as jnp
+
+    from twixt_for_open_spiel_tpu.ops.observe import (
+        bit_observation,
+        bit_observation_nchw,
+    )
+
+    rng = random.Random(100 + n)
+    states = []
+    for k in range(3):
+        s = reset(n)
+        for _ in range(rng.randrange(1, 2 * n)):
+            if int(s.result) != geo.RESULT_OPEN:
+                break
+            p = max(0, min(1, int(s.current_player)))
+            acts = np.nonzero(np.asarray(legal_mask_flat(s, p, n)))[0]
+            s = step(s, n, int(rng.choice(list(acts))))
+        states.append(s)
+    batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=-1), *states
+    )
+    bs = from_state(batch)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        ref = np.moveaxis(np.asarray(bit_observation(bs, n, dtype)), -1, 0)
+        got = np.asarray(bit_observation_nchw(bs, n, dtype))
+        np.testing.assert_array_equal(got, ref, err_msg=f"n={n} {dtype}")

