@@ -9,8 +9,8 @@ Rows (stderr), matching BASELINE.json's metric string and configs:
   * board_size=24, batch 8192 + PER-STEP observation-tensor emission —
     config 4 (learner feed): every step's [B, 12, n, n-2] tensor is
     materialised to HBM in bf16 (the learner's input dtype; planes are
-    binary so bf16 is exact) and read back by an on-device checksum, so the
-    number includes the full emit+write+read cost per step.
+    binary so bf16 is exact) as a forced jit output, so the number includes
+    the full per-step emit+write cost a learner consumer would see.
 
 The measured path on TPU is the fused Pallas rollout over the bitboard
 engine (ops/fused_bit_rollout.py): the whole multi-step env loop runs in
@@ -142,7 +142,7 @@ def bench_rollout_obs(board_size, batch, chunk, launches):
     rate = batch * steps / dt
     print(
         f"[bench] n={board_size} batch={batch} steps={steps} obs=PER-STEP"
-        f" (bf16 emit+checksum) path=xla -> {rate:,.0f} env-steps/s"
+        f" (bf16, forced jit output) path=xla -> {rate:,.0f} env-steps/s"
         f" ({dt:.2f}s)",
         file=sys.stderr,
     )
