@@ -233,6 +233,173 @@ def _best_edge(tree: Tree, node: jnp.ndarray, c_puct):
     return action, kid, kid_term
 
 
+def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior):
+    """Fresh array-of-trees state: root at slot 0, one visit, given prior."""
+
+    def alloc(x):
+        return jnp.broadcast_to(x[None], (nodes,) + x.shape)
+
+    return Tree(
+        visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
+        value_sum=jnp.zeros((batch, nodes), jnp.float32)
+        .at[:, 0]
+        .set(root_value),
+        uprior=jnp.full((batch, nodes, a_dim), -1.0, jnp.float32)
+        .at[:, 0]
+        .set(root_uprior),
+        parent=jnp.full((batch, nodes), NO_NODE),
+        pa=jnp.zeros((batch, nodes), jnp.int32),
+        e_prior=jnp.zeros((batch, nodes), jnp.float32),
+        terminal=jnp.zeros((batch, nodes), bool),
+        tval=jnp.zeros((batch, nodes), jnp.float32),
+        linked=jnp.zeros((batch, nodes), bool).at[:, 0].set(True),
+        depth=jnp.zeros((batch, nodes), jnp.int32),
+        amask=jnp.zeros((batch, nodes, nodes), bool).at[:, 0, 0].set(True),
+        root_child=jnp.full((batch, a_dim), NO_NODE),
+        planes=alloc(_stack_planes(bs)),
+        compid=alloc(bs.compid),
+        scalars=alloc(_stack_scalars(bs)),
+    )
+
+
+def _make_simulate(
+    *, params, key, evaluator, board_size, batch, nodes, a_dim, c_puct,
+    root_entry,
+):
+    """One-simulation body (selection -> expansion -> eval -> backup) for a
+    ``fori_loop`` carrying ``(tree, sel_iter_count)``.
+
+    ``root_entry(tree, sim) -> (action, kid, kid_term)`` chooses the ROOT
+    edge of simulation ``sim``: PUCT best-edge for standard AlphaZero
+    search (:func:`search_batch`), a forced candidate action for Gumbel
+    sequential halving (:func:`gumbel_search_batch`).  Everything below the
+    root is shared: lockstep PUCT walk, one batched engine step, one
+    batched evaluator call, ancestor-mask backup.
+    """
+    iota_n = jnp.arange(nodes, dtype=jnp.int32)
+
+    def simulate(sim, carry):
+        tree, sel_ct = carry
+        new_node = sim + 1  # next free slot (uniform across the batch)
+
+        # --- selection: all envs walk down in lockstep until each env's
+        # best edge is unexpanded or leads to a terminal child
+        def sel_cond(carry):
+            _, _, _, _, can, _ = carry
+            return jnp.any(can)
+
+        def sel_body(carry):
+            node, action, kid, kid_term, can, ct = carry
+            descend = can & (kid >= 0) & ~kid_term
+            node = jnp.where(descend, jnp.maximum(kid, 0), node)
+            a, k, kt = _best_edge(tree, node, c_puct)
+            action = jnp.where(descend, a, action)
+            kid = jnp.where(descend, k, kid)
+            kid_term = jnp.where(descend, kt, kid_term)
+            return node, action, kid, kid_term, descend, ct + 1
+
+        node0 = jnp.zeros((batch,), jnp.int32)
+        a0, k0, kt0 = root_entry(tree, sim)
+        leaf_parent, action, existing_kid, _, _, sel_ct = jax.lax.while_loop(
+            sel_cond, sel_body,
+            (node0, a0, k0, kt0, jnp.ones((batch,), bool), sel_ct),
+        )
+        # An existing child here is necessarily terminal (selection only
+        # stops on missing or terminal children): no expansion, just back
+        # its exact value up again.
+        revisit = existing_kid >= 0
+
+        # --- expansion: one batched bitboard step from the parent states
+        parent_state = _gather_node_state(tree, leaf_parent)
+        child_state = step_bits(parent_state, board_size, action)
+        child_terminal = child_state.result != geo.RESULT_OPEN
+        parent_player = jnp.clip(parent_state.current_player, 0, 1)
+        res = child_state.result
+        term_val = jnp.where(
+            res == geo.RESULT_RED_WIN + parent_player,
+            1.0,
+            jnp.where(res == geo.RESULT_DRAW, 0.0, -1.0),
+        )
+        term_val = jnp.where(child_terminal, term_val, 0.0)
+
+        child_player = jnp.clip(child_state.current_player, 0, 1)
+        child_legal = jnp.moveaxis(
+            bit_legal_mask_flat(child_state, child_player, board_size), 0, -1
+        )
+        logits, value = evaluator(
+            params, child_state, jax.random.fold_in(key, sim)
+        )
+        prior = jax.nn.softmax(
+            jnp.where(child_legal, logits, -1e9), axis=-1
+        )
+        # leaf value from the perspective of the player to move at the
+        # child; terminal: exact value is from parent's perspective, negate.
+        backup_value = jnp.where(child_terminal, -term_val, value)
+
+        node_id = jnp.where(revisit, existing_kid, jnp.int32(new_node))
+
+        # Write the new node unconditionally at slot new_node; for revisit
+        # envs the slot holds unlinked garbage (linked=False keeps it out of
+        # every child-side pass, and no edge retires in uprior — the chosen
+        # edge was already retired when the existing child was created).
+        parent_row = _rows(tree.uprior, leaf_parent)            # [B, A]
+        e_prior_new = _cell(
+            parent_row, action
+        )  # prior of the expanded edge (>= 0: it was live)
+        parent_amask = _rows(tree.amask, leaf_parent)           # [B, nodes]
+        parent_depth = _cell(tree.depth, leaf_parent)
+        onehot_a = action[:, None] == jnp.arange(a_dim, dtype=jnp.int32)
+
+        # retire the expanded edge: -1 at (leaf_parent, action) on a flat
+        # view ([B, 1]-index scatter; a no-op re-retire for revisit envs)
+        up_flat = tree.uprior.reshape(batch, nodes * a_dim)
+        up_flat = jnp.put_along_axis(
+            up_flat,
+            (leaf_parent * a_dim + action)[:, None],
+            -1.0,
+            axis=1,
+            inplace=False,
+        )
+        tree = tree._replace(
+            uprior=up_flat.reshape(batch, nodes, a_dim)
+            .at[:, new_node]
+            .set(jnp.where(child_legal, prior, -1.0)),
+            parent=tree.parent.at[:, new_node].set(leaf_parent),
+            pa=tree.pa.at[:, new_node].set(action),
+            e_prior=tree.e_prior.at[:, new_node].set(e_prior_new),
+            terminal=tree.terminal.at[:, new_node].set(child_terminal),
+            tval=tree.tval.at[:, new_node].set(term_val),
+            linked=tree.linked.at[:, new_node].set(~revisit),
+            depth=tree.depth.at[:, new_node].set(parent_depth + 1),
+            amask=tree.amask.at[:, new_node].set(
+                parent_amask | (iota_n == new_node)
+            ),
+            root_child=jnp.where(
+                (~revisit & (leaf_parent == 0))[:, None] & onehot_a,
+                jnp.int32(new_node),
+                tree.root_child,
+            ),
+        )
+        tree = _set_node_state(tree, new_node, child_state)
+
+        # --- backup: ancestor-mask update, loop-free.  Every node on the
+        # leaf's root path gains a visit; values alternate sign by depth
+        # (two-player zero-sum), anchored at +backup_value on the leaf.
+        path = _rows(tree.amask, node_id)                       # [B, nodes]
+        leaf_depth = _cell(tree.depth, node_id)
+        sign = 1.0 - 2.0 * jnp.bitwise_and(
+            leaf_depth[:, None] - tree.depth, 1
+        ).astype(jnp.float32)
+        tree = tree._replace(
+            visit=tree.visit + path.astype(jnp.int32),
+            value_sum=tree.value_sum
+            + jnp.where(path, backup_value[:, None] * sign, 0.0),
+        )
+        return tree, sel_ct
+
+    return simulate
+
+
 @functools.lru_cache(maxsize=None)
 def net_evaluator(net_apply, board_size: int):
     """Batched leaf evaluator backed by a policy/value network.
@@ -365,156 +532,28 @@ def search_batch(
         root_prior.sum(-1, keepdims=True), 1e-9
     )
 
-    def alloc(x):
-        return jnp.broadcast_to(x[None], (nodes,) + x.shape)
-
-    iota_n = jnp.arange(nodes, dtype=jnp.int32)
-    tree = Tree(
-        visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
-        value_sum=jnp.zeros((batch, nodes), jnp.float32)
-        .at[:, 0]
-        .set(root_value),
-        uprior=jnp.full((batch, nodes, a_dim), -1.0, jnp.float32)
-        .at[:, 0]
-        .set(jnp.where(root_legal, root_prior, -1.0)),
-        parent=jnp.full((batch, nodes), NO_NODE),
-        pa=jnp.zeros((batch, nodes), jnp.int32),
-        e_prior=jnp.zeros((batch, nodes), jnp.float32),
-        terminal=jnp.zeros((batch, nodes), bool),
-        tval=jnp.zeros((batch, nodes), jnp.float32),
-        linked=jnp.zeros((batch, nodes), bool).at[:, 0].set(True),
-        depth=jnp.zeros((batch, nodes), jnp.int32),
-        amask=jnp.zeros((batch, nodes, nodes), bool).at[:, 0, 0].set(True),
-        root_child=jnp.full((batch, a_dim), NO_NODE),
-        planes=alloc(_stack_planes(bs)),
-        compid=alloc(bs.compid),
-        scalars=alloc(_stack_scalars(bs)),
+    tree = _init_tree(
+        bs, batch, nodes, a_dim, root_value,
+        jnp.where(root_legal, root_prior, -1.0),
     )
-
-    def simulate(sim, carry):
-        tree, sel_ct = carry
-        new_node = sim + 1  # next free slot (uniform across the batch)
-
-        # --- selection: all envs walk down in lockstep until each env's
-        # best edge is unexpanded or leads to a terminal child
-        def sel_cond(carry):
-            _, _, _, _, can, _ = carry
-            return jnp.any(can)
-
-        def sel_body(carry):
-            node, action, kid, kid_term, can, ct = carry
-            descend = can & (kid >= 0) & ~kid_term
-            node = jnp.where(descend, jnp.maximum(kid, 0), node)
-            a, k, kt = _best_edge(tree, node, c_puct)
-            action = jnp.where(descend, a, action)
-            kid = jnp.where(descend, k, kid)
-            kid_term = jnp.where(descend, kt, kid_term)
-            return node, action, kid, kid_term, descend, ct + 1
-
-        node0 = jnp.zeros((batch,), jnp.int32)
-        a0, k0, kt0 = _best_edge(tree, node0, c_puct)
-        leaf_parent, action, existing_kid, _, _, sel_ct = jax.lax.while_loop(
-            sel_cond, sel_body,
-            (node0, a0, k0, kt0, jnp.ones((batch,), bool), sel_ct),
-        )
-        # An existing child here is necessarily terminal (selection only
-        # stops on missing or terminal children): no expansion, just back
-        # its exact value up again.
-        revisit = existing_kid >= 0
-
-        # --- expansion: one batched bitboard step from the parent states
-        parent_state = _gather_node_state(tree, leaf_parent)
-        child_state = step_bits(parent_state, board_size, action)
-        child_terminal = child_state.result != geo.RESULT_OPEN
-        parent_player = jnp.clip(parent_state.current_player, 0, 1)
-        res = child_state.result
-        term_val = jnp.where(
-            res == geo.RESULT_RED_WIN + parent_player,
-            1.0,
-            jnp.where(res == geo.RESULT_DRAW, 0.0, -1.0),
-        )
-        term_val = jnp.where(child_terminal, term_val, 0.0)
-
-        child_player = jnp.clip(child_state.current_player, 0, 1)
-        child_legal = jnp.moveaxis(
-            bit_legal_mask_flat(child_state, child_player, board_size), 0, -1
-        )
-        logits, value = evaluator(
-            params, child_state, jax.random.fold_in(key, sim)
-        )
-        prior = jax.nn.softmax(
-            jnp.where(child_legal, logits, -1e9), axis=-1
-        )
-        # leaf value from the perspective of the player to move at the
-        # child; terminal: exact value is from parent's perspective, negate.
-        backup_value = jnp.where(child_terminal, -term_val, value)
-
-        node_id = jnp.where(revisit, existing_kid, jnp.int32(new_node))
-
-        # Write the new node unconditionally at slot new_node; for revisit
-        # envs the slot holds unlinked garbage (linked=False keeps it out of
-        # every child-side pass, and no edge retires in uprior — the chosen
-        # edge was already retired when the existing child was created).
-        parent_row = _rows(tree.uprior, leaf_parent)            # [B, A]
-        e_prior_new = _cell(
-            parent_row, action
-        )  # prior of the expanded edge (>= 0: it was live)
-        parent_amask = _rows(tree.amask, leaf_parent)           # [B, nodes]
-        parent_depth = _cell(tree.depth, leaf_parent)
-        onehot_a = action[:, None] == jnp.arange(a_dim, dtype=jnp.int32)
-
-        # retire the expanded edge: -1 at (leaf_parent, action) on a flat
-        # view ([B, 1]-index scatter; a no-op re-retire for revisit envs)
-        up_flat = tree.uprior.reshape(batch, nodes * a_dim)
-        up_flat = jnp.put_along_axis(
-            up_flat,
-            (leaf_parent * a_dim + action)[:, None],
-            -1.0,
-            axis=1,
-            inplace=False,
-        )
-        tree = tree._replace(
-            uprior=up_flat.reshape(batch, nodes, a_dim)
-            .at[:, new_node]
-            .set(jnp.where(child_legal, prior, -1.0)),
-            parent=tree.parent.at[:, new_node].set(leaf_parent),
-            pa=tree.pa.at[:, new_node].set(action),
-            e_prior=tree.e_prior.at[:, new_node].set(e_prior_new),
-            terminal=tree.terminal.at[:, new_node].set(child_terminal),
-            tval=tree.tval.at[:, new_node].set(term_val),
-            linked=tree.linked.at[:, new_node].set(~revisit),
-            depth=tree.depth.at[:, new_node].set(parent_depth + 1),
-            amask=tree.amask.at[:, new_node].set(
-                parent_amask | (iota_n == new_node)
-            ),
-            root_child=jnp.where(
-                (~revisit & (leaf_parent == 0))[:, None] & onehot_a,
-                jnp.int32(new_node),
-                tree.root_child,
-            ),
-        )
-        tree = _set_node_state(tree, new_node, child_state)
-
-        # --- backup: ancestor-mask update, loop-free.  Every node on the
-        # leaf's root path gains a visit; values alternate sign by depth
-        # (two-player zero-sum), anchored at +backup_value on the leaf.
-        path = _rows(tree.amask, node_id)                       # [B, nodes]
-        leaf_depth = _cell(tree.depth, node_id)
-        sign = 1.0 - 2.0 * jnp.bitwise_and(
-            leaf_depth[:, None] - tree.depth, 1
-        ).astype(jnp.float32)
-        tree = tree._replace(
-            visit=tree.visit + path.astype(jnp.int32),
-            value_sum=tree.value_sum
-            + jnp.where(path, backup_value[:, None] * sign, 0.0),
-        )
-        return tree, sel_ct
-
+    node0 = jnp.zeros((batch,), jnp.int32)
+    simulate = _make_simulate(
+        params=params,
+        key=key,
+        evaluator=evaluator,
+        board_size=board_size,
+        batch=batch,
+        nodes=nodes,
+        a_dim=a_dim,
+        c_puct=c_puct,
+        root_entry=lambda tree, sim: _best_edge(tree, node0, c_puct),
+    )
     tree, sel_ct = jax.lax.fori_loop(
         0, num_simulations, simulate, (tree, jnp.int32(0))
     )
 
     # root visit counts, child-side: one dense select over the node axis
+    iota_n = jnp.arange(nodes, dtype=jnp.int32)
     oh = tree.root_child[..., None] == iota_n                 # [B, A, nodes]
     kid_visits = jnp.where(oh, tree.visit[:, None, :], 0).sum(-1)
     kid_visits = jnp.where(root_legal, kid_visits, 0)
