@@ -70,8 +70,10 @@ def main():
     mesh = make_env_mesh(devices)
     net = create_net(n, channels=channels, blocks=blocks)
     params = init_params(net, jax.random.PRNGKey(0))
+    search = "gumbel" if "--gumbel" in sys.argv else "puct"
     selfplay, _ = make_distributed_selfplay(
-        net.apply, n, num_steps=chunk, num_simulations=sims, mesh=mesh
+        net.apply, n, num_steps=chunk, num_simulations=sims, mesh=mesh,
+        search=search,
     )
     trainer, _ = make_distributed_train_step(
         net.apply, make_optimizer(1e-3), mesh
@@ -106,6 +108,7 @@ def main():
     sims_total = batch * chunk * sims
     print(
         f"[selfplay n={n} batch={batch} chunk={chunk} sims={sims} "
+        f"search={search} "
         f"net={channels}x{blocks}] {dt*1e3:.0f} ms/iter -> "
         f"{env_steps/dt:,.0f} env-moves/s, {sims_total/dt:,.0f} MCTS sims/s, "
         f"{env_steps/dt:,.0f} train frames/s",

@@ -235,3 +235,89 @@ def test_arena_self_match_is_balanced(params):
     )
     score = float(out["a_score"])
     assert 0.15 <= score <= 0.85, out
+
+
+def test_gumbel_search_finds_winning_move():
+    # Same near-win position as the PUCT test.  With a NEUTRAL net the
+    # Gumbel top-m draw is uniform over legal actions, so candidate
+    # selection carries no signal — consider the full action space
+    # (max_considered=64: one sequential-halving visit each) and the
+    # sigma(q)-based halving/final-pick must then find an immediate win
+    # deterministically.  (With a trained policy a small m is the point.)
+    from twixt_for_open_spiel_tpu.models.mcts import gumbel_search_batch
+    from twixt_for_open_spiel_tpu.ops.step import step
+
+    n = 8
+    s = reset(n)
+    for a in [21, 38, 15, 11, 27, 17, 42, 45]:
+        s = step(s, n, a)
+    bs = from_state(jax.tree_util.tree_map(lambda x: x[..., None], s))
+    action, improved, root_q = gumbel_search_batch(
+        None,
+        bs,
+        jax.random.PRNGKey(7),
+        evaluator=net_evaluator(_uniform_net, n),
+        board_size=n,
+        num_simulations=64,
+        max_considered=64,
+    )
+    s_after = step(s, n, int(action[0]))
+    assert int(s_after.result) == geo.RESULT_RED_WIN, int(action[0])
+    # improved policy: legal-only, normalised, concentrated on the win
+    p = np.asarray(improved)[0]
+    legal = np.asarray(legal_mask_flat(s, 0, n))
+    assert np.all(p[~legal] == 0)
+    assert np.isclose(p.sum(), 1.0, atol=1e-5)
+    s_best = step(s, n, int(p.argmax()))
+    assert int(s_best.result) == geo.RESULT_RED_WIN
+
+
+def test_gumbel_search_smoke_batch(params):
+    from twixt_for_open_spiel_tpu.models.mcts import gumbel_search_batch
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
+
+    b = 4
+    bs = bit_reset(N, b)
+    action, improved, root_q = gumbel_search_batch(
+        params,
+        bs,
+        jax.random.PRNGKey(8),
+        evaluator=net_evaluator(NET.apply, N),
+        board_size=N,
+        num_simulations=12,
+        max_considered=8,
+    )
+    legal = np.asarray(legal_mask_flat(reset(N), 0, N))
+    acts = np.asarray(action)
+    assert acts.shape == (b,)
+    assert np.all(legal[acts]), acts
+    p = np.asarray(improved)
+    assert np.all(p[:, ~legal] == 0)
+    assert np.allclose(p.sum(-1), 1.0, atol=1e-5)
+    assert np.all(np.abs(np.asarray(root_q)) <= 1.0)
+
+
+def test_selfplay_chunk_gumbel(params):
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
+
+    bs = bit_reset(N, 4)
+    bs2, sample = selfplay_chunk(
+        params,
+        bs,
+        jax.random.PRNGKey(9),
+        net_apply=NET.apply,
+        board_size=N,
+        num_steps=3,
+        num_simulations=8,
+        search="gumbel",
+    )
+    assert sample.obs.shape == (3, 4, geo.NUM_PLANES, N, N - 2)
+    p = np.asarray(sample.policy)
+    assert np.all(p >= 0)
+    assert np.allclose(p.sum(-1), 1.0, atol=1e-4)
+    # emitted chunk trains
+    opt = make_optimizer(1e-3)
+    p2, o2, m = train_step(
+        params, opt.init(params), sample, net_apply=NET.apply, optimizer=opt
+    )
+    assert np.isfinite(float(m["loss"]))

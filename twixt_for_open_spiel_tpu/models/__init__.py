@@ -5,7 +5,11 @@ from twixt_for_open_spiel_tpu.models.network import (
     masked_policy,
 )
 from twixt_for_open_spiel_tpu.models.arena import arena_match
-from twixt_for_open_spiel_tpu.models.mcts import batched_search, search_batch
+from twixt_for_open_spiel_tpu.models.mcts import (
+    batched_search,
+    gumbel_search_batch,
+    search_batch,
+)
 from twixt_for_open_spiel_tpu.models.selfplay import (
     Sample,
     loss_fn,
@@ -21,6 +25,7 @@ __all__ = [
     "masked_policy",
     "arena_match",
     "batched_search",
+    "gumbel_search_batch",
     "search_batch",
     "Sample",
     "loss_fn",

@@ -570,6 +570,198 @@ def search_batch(
     return visit_probs, root_q
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "board_size", "num_simulations", "evaluator", "max_considered"
+    ),
+)
+def gumbel_search_batch(
+    params,
+    bs: BitState,
+    key,
+    *,
+    evaluator,
+    board_size: int,
+    num_simulations: int,
+    max_considered: int = 16,
+    c_puct: float = 1.4,
+    c_visit: float = 50.0,
+    c_scale: float = 1.0,
+):
+    """Gumbel sequential-halving root search (Danihelka et al. 2022 style).
+
+    Root exploration without Dirichlet noise or visit-count temperature:
+    sample one Gumbel per root action, keep the top ``max_considered``
+    candidates by ``g + logits``, and spend the simulation budget in
+    log2(m) sequential-halving phases — every live candidate gets the same
+    number of forced-root-action simulations per phase, then the field
+    halves by ``g + logits + sigma(qhat)`` with
+    ``sigma(q) = (c_visit + max_visit) * c_scale * q``.  Below the root the
+    shared PUCT walk/expansion/backup of :func:`_make_simulate` runs
+    unchanged.
+
+    Returns ``(action, improved_policy, root_value)``:
+
+      * ``action`` [B] — the surviving candidate (play this move; the
+        Gumbel sample IS the exploration, so self-play plays it directly);
+      * ``improved_policy`` [B, A] — softmax(logits + sigma(completed Q))
+        over legal actions, the Gumbel-MuZero policy target (visited root
+        children contribute their search Q, unvisited actions the root
+        value estimate);
+      * ``root_value`` [B] — mean value of the root's visits.
+
+    TPU fit: at equal playing strength sequential halving needs ~2-4x fewer
+    simulations than PUCT+Dirichlet roots, and simulations are the only
+    SEQUENTIAL part of the batched search — everything inside one is a
+    full-batch tensor op.
+    """
+    a_dim = board_size * board_size
+    nodes = num_simulations + 1
+    batch = bs.current_player.shape[-1]
+    assert bs.current_player.ndim == 1
+    key, k_root, k_gumbel = jax.random.split(key, 3)
+    root_player = jnp.clip(bs.current_player, 0, 1)
+    root_legal = jnp.moveaxis(
+        bit_legal_mask_flat(bs, root_player, board_size), 0, -1
+    )  # [B, A]
+    root_logits, root_value = evaluator(params, bs, k_root)
+    root_logits = jnp.where(root_legal, root_logits, -jnp.inf)
+    root_prior = jax.nn.softmax(
+        jnp.where(root_legal, root_logits, -1e9), axis=-1
+    )
+
+    g = jax.random.gumbel(k_gumbel, (batch, a_dim))
+    base = jnp.where(root_legal, g + root_logits, -jnp.inf)   # [B, A]
+
+    m = max(2, min(max_considered, a_dim, num_simulations))
+    cand_base, cand_actions = jax.lax.top_k(base, m)          # [B, m]
+    # envs with fewer than m legal actions: duplicate the top candidate
+    # (its extra forced simulations are ordinary revisits/descents)
+    cand_valid = jnp.isfinite(cand_base)
+    cand_actions = jnp.where(cand_valid, cand_actions, cand_actions[:, :1])
+    cand_base = jnp.where(cand_valid, cand_base, cand_base[:, :1])
+
+    tree = _init_tree(
+        bs, batch, nodes, a_dim, root_value,
+        jnp.where(root_legal, root_prior, -1.0),
+    )
+
+    # static sequential-halving schedule: (live_count, visits_per_candidate)
+    schedule = []
+    live, used = m, 0
+    n_phases = max(1, (m - 1).bit_length())  # ceil(log2(m))
+    while live > 1:
+        per = max(1, num_simulations // (n_phases * live))
+        if live // 2 <= 1:  # final phase: spend the whole remainder
+            per = max(1, (num_simulations - used) // live)
+        if used + per * live > num_simulations:
+            break
+        schedule.append((live, per))
+        used += per * live
+        live //= 2
+
+    def node_q(tree):
+        """Per-node value from the PARENT's perspective ([B, nodes])."""
+        return jnp.where(
+            tree.terminal,
+            tree.tval,
+            -tree.value_sum
+            / jnp.maximum(tree.visit, 1).astype(jnp.float32),
+        )
+
+    def cand_qhat(tree, cand_actions):
+        """Completed Q per candidate: child Q if visited, else v_root."""
+        kid = jnp.take_along_axis(tree.root_child, cand_actions, axis=1)
+        q = jnp.take_along_axis(node_q(tree), jnp.maximum(kid, 0), axis=1)
+        return jnp.where(kid >= 0, q, root_value[:, None])
+
+    offset = 0
+    for live, per in schedule:
+        live_actions = cand_actions[:, :live]
+
+        def root_entry(tree, sim, live_actions=live_actions,
+                       offset=offset, live=live):
+            k = jnp.mod(sim - offset, live)
+            a0 = jax.lax.dynamic_index_in_dim(
+                live_actions, k, axis=1, keepdims=False
+            )
+            k0 = _cell(tree.root_child, a0)
+            kt0 = (k0 >= 0) & _cell(tree.terminal, jnp.maximum(k0, 0))
+            return a0, k0, kt0
+
+        simulate = _make_simulate(
+            params=params, key=key, evaluator=evaluator,
+            board_size=board_size, batch=batch, nodes=nodes, a_dim=a_dim,
+            c_puct=c_puct, root_entry=root_entry,
+        )
+        tree, _ = jax.lax.fori_loop(
+            offset, offset + live * per, simulate, (tree, jnp.int32(0))
+        )
+        offset += live * per
+
+        if live > 2:  # halve the field by g + logits + sigma(qhat)
+            kid_all = tree.root_child
+            iota_n = jnp.arange(nodes, dtype=jnp.int32)
+            ohv = kid_all[..., None] == iota_n
+            visits_all = jnp.where(ohv, tree.visit[:, None, :], 0).sum(-1)
+            maxvisit = visits_all.max(-1).astype(jnp.float32)   # [B]
+            sigma_scale = (c_visit + maxvisit) * c_scale
+            score = (
+                cand_base[:, :live]
+                + sigma_scale[:, None] * cand_qhat(tree, live_actions)
+            )
+            keep = live // 2
+            _, top_idx = jax.lax.top_k(score, keep)             # [B, keep]
+            new_actions = jnp.take_along_axis(live_actions, top_idx, axis=1)
+            new_base = jnp.take_along_axis(
+                cand_base[:, :live], top_idx, axis=1
+            )
+            # survivors first; pad the tail with the leader (never used)
+            pad_a = jnp.broadcast_to(new_actions[:, :1], (batch, m - keep))
+            pad_b = jnp.broadcast_to(new_base[:, :1], (batch, m - keep))
+            cand_actions = jnp.concatenate([new_actions, pad_a], axis=1)
+            cand_base = jnp.concatenate([new_base, pad_b], axis=1)
+
+    # final pick: every halving path ends with a live pair (top_k sorts
+    # descending, so after the last halve the best two lead the field)
+    final_live = 2
+    live_actions = cand_actions[:, :final_live]
+    iota_n = jnp.arange(nodes, dtype=jnp.int32)
+    ohv = tree.root_child[..., None] == iota_n
+    visits_all = jnp.where(ohv, tree.visit[:, None, :], 0).sum(-1)
+    maxvisit = visits_all.max(-1).astype(jnp.float32)
+    sigma_scale = (c_visit + maxvisit) * c_scale
+    final_score = (
+        cand_base[:, :final_live]
+        + sigma_scale[:, None] * cand_qhat(tree, live_actions)
+    )
+    action = jnp.take_along_axis(
+        live_actions, jnp.argmax(final_score, -1)[:, None], axis=1
+    )[:, 0]
+
+    # improved policy over ALL actions: logits + sigma(completed Q)
+    q_all_nodes = node_q(tree)
+    oh = tree.root_child[..., None] == iota_n
+    q_all = jnp.where(oh, q_all_nodes[:, None, :], 0.0).sum(-1)
+    visited = (tree.root_child >= 0) & (visits_all > 0)
+    q_completed = jnp.where(visited, q_all, root_value[:, None])
+    improved = jax.nn.softmax(
+        jnp.where(
+            root_legal,
+            jnp.where(root_legal, root_logits, 0.0)
+            + sigma_scale[:, None] * q_completed,
+            -jnp.inf,
+        ),
+        axis=-1,
+    )
+    improved = jnp.where(root_legal, improved, 0.0)
+    root_q = tree.value_sum[:, 0] / jnp.maximum(
+        tree.visit[:, 0], 1
+    ).astype(jnp.float32)
+    return action, improved, root_q
+
+
 def batched_search(params, states, key, **kw):
     """Search from canonical tensor states (ops/state.State, trailing env
     batch): packs to BitState and runs :func:`search_batch`.

@@ -45,7 +45,7 @@ class Sample(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "net_apply", "board_size", "num_steps", "num_simulations"
+        "net_apply", "board_size", "num_steps", "num_simulations", "search"
     ),
 )
 def selfplay_chunk(
@@ -58,6 +58,7 @@ def selfplay_chunk(
     num_steps: int,
     num_simulations: int,
     temperature: float = 1.0,
+    search: str = "puct",
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
     (final_bitstate, Sample).
@@ -65,31 +66,49 @@ def selfplay_chunk(
     ``bs`` uses the engine's trailing-env-axis batch layout (1-D batch);
     the emitted Sample is time-major, batch-second ([T, B, ...]) as the
     learner expects.
+
+    ``search`` selects the move generator: ``"puct"`` — AlphaZero search
+    with Dirichlet root noise, visit-count policy targets, and
+    temperature-sampled actions; ``"gumbel"`` — Gumbel sequential halving
+    (mcts.gumbel_search_batch): the sampled Gumbels are the exploration,
+    the chosen candidate is played directly, and the policy target is the
+    completed-Q improved policy.
     """
+    assert search in ("puct", "gumbel"), search
     batch = bs.current_player.shape[-1]
 
     def body(carry, i):
         bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
-        probs, root_q = mcts.search_batch(
-            params,
-            bs,
-            k_search,
-            evaluator=mcts.net_evaluator(net_apply, board_size),
-            board_size=board_size,
-            num_simulations=num_simulations,
-        )
         obs = bit_observation_nchw(bs, board_size)
         player = jnp.clip(bs.current_player, 0, 1)
 
-        # temperature sampling over visit counts; illegal actions carry
-        # zero visit mass, but mask explicitly for numerical safety
-        logits = jnp.log(jnp.maximum(probs, 1e-9)) / temperature
-        legal = jnp.moveaxis(
-            bit_legal_mask_flat(bs, player, board_size), 0, -1
-        )  # [B, A]
-        logits = jnp.where(legal, logits, -jnp.inf)
-        actions = jax.random.categorical(k_act, logits, axis=-1)
+        if search == "gumbel":
+            actions, probs, root_q = mcts.gumbel_search_batch(
+                params,
+                bs,
+                k_search,
+                evaluator=mcts.net_evaluator(net_apply, board_size),
+                board_size=board_size,
+                num_simulations=num_simulations,
+            )
+        else:
+            probs, root_q = mcts.search_batch(
+                params,
+                bs,
+                k_search,
+                evaluator=mcts.net_evaluator(net_apply, board_size),
+                board_size=board_size,
+                num_simulations=num_simulations,
+            )
+            # temperature sampling over visit counts; illegal actions
+            # carry zero visit mass, but mask explicitly for safety
+            logits = jnp.log(jnp.maximum(probs, 1e-9)) / temperature
+            legal = jnp.moveaxis(
+                bit_legal_mask_flat(bs, player, board_size), 0, -1
+            )  # [B, A]
+            logits = jnp.where(legal, logits, -jnp.inf)
+            actions = jax.random.categorical(k_act, logits, axis=-1)
 
         nxt, done, result = bit_step_auto_reset(
             bs, actions.astype(jnp.int32), board_size

@@ -76,7 +76,8 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
 
 
 def make_distributed_selfplay(
-    net_apply, board_size, num_steps, num_simulations, mesh=None
+    net_apply, board_size, num_steps, num_simulations, mesh=None,
+    search="puct",
 ):
     """(params, bitstate, key) -> (bitstate, sample) with env-sharded
     state/sample.  The env state is the bitboard representation throughout
@@ -107,6 +108,7 @@ def make_distributed_selfplay(
             board_size=board_size,
             num_steps=num_steps,
             num_simulations=num_simulations,
+            search=search,
         )
 
     return jax.jit(dist_selfplay), mesh
