@@ -7,9 +7,9 @@ of games in lockstep on the bitboard engine, with one array-of-trees MCTS
 per move for all boards at once.
 
 Both sides share one search program per move: the leaf evaluator holds both
-parameter trees and dispatches per ENV on whose turn it is at the LEAF
-state (colors alternate by env so first-move advantage cancels), so the
-tree work is paid once and only the network is evaluated for both sides.
+parameter trees, runs BOTH networks on every leaf, and selects per env by
+whose turn it is at the LEAF state (colors alternate by env so first-move
+advantage cancels) — the tree work is paid once, the network twice.
 
 Openings are diversified by sampling the first ``temp_moves`` plies from
 the visit distribution (per-env RNG); play is argmax thereafter.  Dirichlet
@@ -38,9 +38,10 @@ def _dual_net_evaluator(net_apply, board_size: int):
     """Evaluator dispatching between two nets by the leaf's mover.
 
     ``params`` is ``(params_a, params_b, a_is_red)`` where ``a_is_red`` is
-    a [B] bool.  Side A evaluates every leaf whose player-to-move is A's
-    color; works at any tree depth because the dispatch looks at the leaf
-    state itself, not the root.
+    a [B] bool.  BOTH nets run on every leaf batch (2x network cost) and
+    the result is selected per env: side A's output is used wherever the
+    leaf's player-to-move is A's color.  Works at any tree depth because
+    the dispatch looks at the leaf state itself, not the root.
     """
     base = mcts.net_evaluator(net_apply, board_size)
 
@@ -103,7 +104,7 @@ def arena_match(
 
     def body(carry):
         bs, move, key = carry
-        key, k_search, k_act = jax.random.split(key, 3)
+        key, k_search, k_act, k_rand = jax.random.split(key, 4)
         open_ = bs.result == geo.RESULT_OPEN
         safe = jax.tree_util.tree_map(
             lambda live, d: jnp.where(
@@ -135,7 +136,7 @@ def arena_match(
         if random_b:
             b_to_move = (player == 0) != a_is_red
             noise = jax.random.bits(
-                k_act, dtype=jnp.uint32
+                k_rand, dtype=jnp.uint32
             ) + jnp.arange(batch, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
             rand_action = sample_bits(safe, n, noise)
             action = jnp.where(b_to_move, rand_action, action)

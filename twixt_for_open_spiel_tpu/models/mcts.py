@@ -33,9 +33,12 @@ into one of:
     -1 otherwise), so the best UNEXPANDED edge needs one row gather, and
     expanding an edge retires it with a [B, 1]-index scatter on a flat
     view;
-  * ancestor-bitmask backup: each node stores its root-path set as a
-    boolean row (``amask``), so the whole backup is ``visit += row`` and a
-    sign-alternating ``value_sum`` update — two elementwise ops, no loop;
+  * parent-chain backup: a ``while_loop`` walks each env's leaf-to-root
+    path with one [B, 1]-index parent gather and two [B, 1]-index
+    scatter-adds per level (~1 us each), so backup costs O(deepest leaf)
+    per simulation and the tree carries no O(nodes^2) state — the round-2
+    ancestor-mask design allocated a [B, nodes, nodes] bool whose memory
+    grew quadratically with the simulation budget;
   * node BitStates gathered by a masked one-hot sum over the 65 slots
     (52 us) instead of a minor-axis gather (113 us).
 
@@ -93,8 +96,6 @@ class Tree(NamedTuple):
     # its PARENT (the player who took parent_action); 0 for non-terminal.
     tval: jnp.ndarray        # f32 [B, nodes]
     linked: jnp.ndarray      # bool [B, nodes] slot actually in the tree
-    depth: jnp.ndarray       # int32 [B, nodes]
-    amask: jnp.ndarray       # bool [B, nodes, nodes] root-path set incl self
     root_child: jnp.ndarray  # int32 [B, A] child node id of root edges / -1
     planes: jnp.ndarray      # u32 [nodes, 16, P, B] packed bitplanes
     compid: jnp.ndarray      # i16 [nodes, N, N, B]
@@ -253,8 +254,6 @@ def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior):
         terminal=jnp.zeros((batch, nodes), bool),
         tval=jnp.zeros((batch, nodes), jnp.float32),
         linked=jnp.zeros((batch, nodes), bool).at[:, 0].set(True),
-        depth=jnp.zeros((batch, nodes), jnp.int32),
-        amask=jnp.zeros((batch, nodes, nodes), bool).at[:, 0, 0].set(True),
         root_child=jnp.full((batch, a_dim), NO_NODE),
         planes=alloc(_stack_planes(bs)),
         compid=alloc(bs.compid),
@@ -267,7 +266,7 @@ def _make_simulate(
     root_entry,
 ):
     """One-simulation body (selection -> expansion -> eval -> backup) for a
-    ``fori_loop`` carrying ``(tree, sel_iter_count)``.
+    ``fori_loop`` carrying ``(tree, sel_iter_count, backup_iter_count)``.
 
     ``root_entry(tree, sim) -> (action, kid, kid_term)`` chooses the ROOT
     edge of simulation ``sim``: PUCT best-edge for standard AlphaZero
@@ -276,10 +275,8 @@ def _make_simulate(
     root is shared: lockstep PUCT walk, one batched engine step, one
     batched evaluator call, ancestor-mask backup.
     """
-    iota_n = jnp.arange(nodes, dtype=jnp.int32)
-
     def simulate(sim, carry):
-        tree, sel_ct = carry
+        tree, sel_ct, bk_ct = carry
         new_node = sim + 1  # next free slot (uniform across the batch)
 
         # --- selection: all envs walk down in lockstep until each env's
@@ -346,8 +343,6 @@ def _make_simulate(
         e_prior_new = _cell(
             parent_row, action
         )  # prior of the expanded edge (>= 0: it was live)
-        parent_amask = _rows(tree.amask, leaf_parent)           # [B, nodes]
-        parent_depth = _cell(tree.depth, leaf_parent)
         onehot_a = action[:, None] == jnp.arange(a_dim, dtype=jnp.int32)
 
         # retire the expanded edge: -1 at (leaf_parent, action) on a flat
@@ -370,10 +365,6 @@ def _make_simulate(
             terminal=tree.terminal.at[:, new_node].set(child_terminal),
             tval=tree.tval.at[:, new_node].set(term_val),
             linked=tree.linked.at[:, new_node].set(~revisit),
-            depth=tree.depth.at[:, new_node].set(parent_depth + 1),
-            amask=tree.amask.at[:, new_node].set(
-                parent_amask | (iota_n == new_node)
-            ),
             root_child=jnp.where(
                 (~revisit & (leaf_parent == 0))[:, None] & onehot_a,
                 jnp.int32(new_node),
@@ -382,20 +373,38 @@ def _make_simulate(
         )
         tree = _set_node_state(tree, new_node, child_state)
 
-        # --- backup: ancestor-mask update, loop-free.  Every node on the
-        # leaf's root path gains a visit; values alternate sign by depth
-        # (two-player zero-sum), anchored at +backup_value on the leaf.
-        path = _rows(tree.amask, node_id)                       # [B, nodes]
-        leaf_depth = _cell(tree.depth, node_id)
-        sign = 1.0 - 2.0 * jnp.bitwise_and(
-            leaf_depth[:, None] - tree.depth, 1
-        ).astype(jnp.float32)
-        tree = tree._replace(
-            visit=tree.visit + path.astype(jnp.int32),
-            value_sum=tree.value_sum
-            + jnp.where(path, backup_value[:, None] * sign, 0.0),
+        # --- backup: parent-chain walk from each env's leaf to the root.
+        # Values alternate sign per level (two-player zero-sum), anchored at
+        # +backup_value on the leaf.  Each iteration is per-env-scalar work
+        # only — a [B,1]-index parent gather plus two [B,1]-index
+        # scatter-adds (~1 us each at search shapes) — so the walk costs
+        # O(deepest live leaf) per simulation and the tree carries NO
+        # O(nodes^2) state (the round-2 ancestor-mask design allocated a
+        # [B, nodes, nodes] bool that hit hundreds of MB at 512+ sims).
+        env = jnp.arange(batch)
+
+        def bk_cond(carry):
+            _, _, node, _, _ = carry
+            return jnp.any(node >= 0)
+
+        def bk_body(carry):
+            visit, vsum, node, v, ct = carry
+            live = node >= 0
+            idx = jnp.maximum(node, 0)
+            visit = visit.at[env, idx].add(
+                jnp.where(live, 1, 0).astype(jnp.int32)
+            )
+            vsum = vsum.at[env, idx].add(jnp.where(live, v, 0.0))
+            node = jnp.where(live, _cell(tree.parent, idx), NO_NODE)
+            return visit, vsum, node, -v, ct + 1
+
+        visit, vsum, _, _, bk_ct = jax.lax.while_loop(
+            bk_cond,
+            bk_body,
+            (tree.visit, tree.value_sum, node_id, backup_value, bk_ct),
         )
-        return tree, sel_ct
+        tree = tree._replace(visit=visit, value_sum=vsum)
+        return tree, sel_ct, bk_ct
 
     return simulate
 
@@ -503,9 +512,8 @@ def search_batch(
     Returns (visit_probs [B, A], root_value [B]) — the policy targets and
     value estimates self-play consumes.  With ``return_stats`` (a separate
     compile) additionally returns diagnostic counters ``{"sel_iters",
-    "backup_iters"}``: total lockstep selection-walk iterations (the walks
-    run until the DEEPEST env finishes) and 0 — backup is loop-free
-    (ancestor-mask update).
+    "backup_iters"}``: total lockstep selection-walk and backup-walk
+    iterations (each walk runs until the DEEPEST env finishes).
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
@@ -548,8 +556,8 @@ def search_batch(
         c_puct=c_puct,
         root_entry=lambda tree, sim: _best_edge(tree, node0, c_puct),
     )
-    tree, sel_ct = jax.lax.fori_loop(
-        0, num_simulations, simulate, (tree, jnp.int32(0))
+    tree, sel_ct, bk_ct = jax.lax.fori_loop(
+        0, num_simulations, simulate, (tree, jnp.int32(0), jnp.int32(0))
     )
 
     # root visit counts, child-side: one dense select over the node axis
@@ -565,9 +573,64 @@ def search_batch(
     ).astype(jnp.float32)
     if return_stats:
         return visit_probs, root_q, {
-            "sel_iters": sel_ct, "backup_iters": jnp.int32(0)
+            "sel_iters": sel_ct, "backup_iters": bk_ct
         }
     return visit_probs, root_q
+
+
+def _halving_schedule(max_considered: int, a_dim: int, num_simulations: int):
+    """Static sequential-halving schedule (Danihelka et al. 2022 style).
+
+    Returns ``(m, [(live, per), ...])``: the (possibly clamped) candidate
+    count and, per phase, the live-candidate count and forced simulations
+    per live candidate.  Pure Python over static ints — shared verbatim by
+    the numpy reference in tests/test_gumbel_exact.py.
+
+    Budget allocation follows the paper: each phase targets an equal share
+    ``num_simulations // n_phases`` of the budget, remainders flow to LATER
+    phases, and the final (live=2) phase spends everything left.  Two
+    guarantees the round-2 schedule lacked:
+
+      * ``m`` is clamped (halved) until the minimal schedule — one visit
+        per live candidate per phase — fits the budget, so no phase is ever
+        silently skipped and the final pair always receives fresh
+        simulations;
+      * total spent simulations equal ``num_simulations`` up to the last
+        phase's ``% 2`` remainder (at most 1 stranded), instead of up to
+        ``n_phases * m``.
+    """
+    assert num_simulations >= 2, (
+        "gumbel search needs num_simulations >= 2 (a 1-sim budget would "
+        "pick by g+logits alone with zero search)"
+    )
+
+    def lives_of(m):
+        lives = []
+        live = m
+        while live > 1:
+            lives.append(live)
+            live //= 2
+        return lives
+
+    m = max(2, min(max_considered, a_dim, num_simulations))
+    while m > 2 and sum(lives_of(m)) > num_simulations:
+        m //= 2
+    m = max(2, m)
+
+    lives = lives_of(m)
+    n_phases = len(lives)
+    share = num_simulations // n_phases
+    schedule = []
+    remaining = num_simulations
+    for i, live in enumerate(lives):
+        rest_min = sum(lives[i + 1:])  # 1 visit/candidate for later phases
+        if i == n_phases - 1:
+            per = remaining // live
+        else:
+            per = min(max(1, share // live), (remaining - rest_min) // live)
+        schedule.append((live, per))
+        remaining -= per * live
+    return m, schedule
 
 
 @functools.partial(
@@ -588,6 +651,7 @@ def gumbel_search_batch(
     c_puct: float = 1.4,
     c_visit: float = 50.0,
     c_scale: float = 1.0,
+    gumbel_noise=None,
 ):
     """Gumbel sequential-halving root search (Danihelka et al. 2022 style).
 
@@ -631,10 +695,11 @@ def gumbel_search_batch(
         jnp.where(root_legal, root_logits, -1e9), axis=-1
     )
 
-    g = jax.random.gumbel(k_gumbel, (batch, a_dim))
-    base = jnp.where(root_legal, g + root_logits, -jnp.inf)   # [B, A]
+    if gumbel_noise is None:  # injectable for the exactness pin
+        gumbel_noise = jax.random.gumbel(k_gumbel, (batch, a_dim))
+    base = jnp.where(root_legal, gumbel_noise + root_logits, -jnp.inf)
 
-    m = max(2, min(max_considered, a_dim, num_simulations))
+    m, schedule = _halving_schedule(max_considered, a_dim, num_simulations)
     cand_base, cand_actions = jax.lax.top_k(base, m)          # [B, m]
     # envs with fewer than m legal actions: duplicate the top candidate
     # (its extra forced simulations are ordinary revisits/descents)
@@ -646,20 +711,6 @@ def gumbel_search_batch(
         bs, batch, nodes, a_dim, root_value,
         jnp.where(root_legal, root_prior, -1.0),
     )
-
-    # static sequential-halving schedule: (live_count, visits_per_candidate)
-    schedule = []
-    live, used = m, 0
-    n_phases = max(1, (m - 1).bit_length())  # ceil(log2(m))
-    while live > 1:
-        per = max(1, num_simulations // (n_phases * live))
-        if live // 2 <= 1:  # final phase: spend the whole remainder
-            per = max(1, (num_simulations - used) // live)
-        if used + per * live > num_simulations:
-            break
-        schedule.append((live, per))
-        used += per * live
-        live //= 2
 
     def node_q(tree):
         """Per-node value from the PARENT's perspective ([B, nodes])."""
@@ -695,8 +746,9 @@ def gumbel_search_batch(
             board_size=board_size, batch=batch, nodes=nodes, a_dim=a_dim,
             c_puct=c_puct, root_entry=root_entry,
         )
-        tree, _ = jax.lax.fori_loop(
-            offset, offset + live * per, simulate, (tree, jnp.int32(0))
+        tree, _, _ = jax.lax.fori_loop(
+            offset, offset + live * per, simulate,
+            (tree, jnp.int32(0), jnp.int32(0)),
         )
         offset += live * per
 

@@ -8,10 +8,11 @@ via ``jax.distributed.initialize``, and from then on single-program code
 over a global ``Mesh`` (parallel/mesh.py) runs SPMD across all hosts' chips
 with XLA collectives riding ICI inside a host and DCN across hosts.
 
-Usage, one command per host (see also examples/distributed_selfplay.py):
+Usage, one command per host (the multi-host front door is
+examples/selfplay_train.py, which wires these flags through):
 
-    python -m twixt_for_open_spiel_tpu.examples.distributed_selfplay \
-        --coordinator=10.0.0.1:8476 --num-processes=4 --process-id=$SLURM_PROCID
+    python -m twixt_for_open_spiel_tpu.examples.selfplay_train \
+        --coordinator=10.0.0.1:8476 --num_processes=4 --process_id=$SLURM_PROCID
 
 On Cloud TPU pod slices all three flags may be omitted: the runtime
 auto-detects the topology from the TPU metadata.
