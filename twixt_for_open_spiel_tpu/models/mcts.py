@@ -605,17 +605,19 @@ def _halving_schedule(max_considered: int, a_dim: int, num_simulations: int):
     )
 
     def lives_of(m):
-        lives = []
-        live = m
-        while live > 1:
+        # halving sequence clamped to end at a live PAIR (the final pick
+        # scores exactly two candidates), e.g. 6 -> [6, 3, 2], 3 -> [3, 2]
+        lives, live = [], m
+        while live >= 2:
             lives.append(live)
-            live //= 2
+            if live == 2:
+                break
+            live = max(2, live // 2)
         return lives
 
     m = max(2, min(max_considered, a_dim, num_simulations))
     while m > 2 and sum(lives_of(m)) > num_simulations:
-        m //= 2
-    m = max(2, m)
+        m = max(2, m // 2)
 
     lives = lives_of(m)
     n_phases = len(lives)
@@ -728,7 +730,7 @@ def gumbel_search_batch(
         return jnp.where(kid >= 0, q, root_value[:, None])
 
     offset = 0
-    for live, per in schedule:
+    for phase_i, (live, per) in enumerate(schedule):
         live_actions = cand_actions[:, :live]
 
         def root_entry(tree, sim, live_actions=live_actions,
@@ -752,7 +754,9 @@ def gumbel_search_batch(
         )
         offset += live * per
 
-        if live > 2:  # halve the field by g + logits + sigma(qhat)
+        if phase_i + 1 < len(schedule):
+            # shrink the field to the next phase's live count by
+            # g + logits + sigma(qhat)
             kid_all = tree.root_child
             iota_n = jnp.arange(nodes, dtype=jnp.int32)
             ohv = kid_all[..., None] == iota_n
@@ -763,7 +767,7 @@ def gumbel_search_batch(
                 cand_base[:, :live]
                 + sigma_scale[:, None] * cand_qhat(tree, live_actions)
             )
-            keep = live // 2
+            keep = schedule[phase_i + 1][0]
             _, top_idx = jax.lax.top_k(score, keep)             # [B, keep]
             new_actions = jnp.take_along_axis(live_actions, top_idx, axis=1)
             new_base = jnp.take_along_axis(
