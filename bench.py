@@ -6,11 +6,13 @@ Rows (stderr), matching BASELINE.json's metric string and configs:
   * board_size=5,  batch 256   — config 2 (minimal board)
   * board_size=12, batch 4096  — config 3
   * board_size=24, batch 4096  — the metric string's second size
-  * board_size=24, batch 8192 + PER-STEP observation-tensor emission —
-    config 4 (learner feed): every step's [B, 12, n, n-2] tensor is
-    materialised to HBM in bf16 (the learner's input dtype; planes are
-    binary so bf16 is exact) as a forced jit output, so the number includes
-    the full per-step emit+write cost a learner consumer would see.
+  * board_size=24, batch 8192 + PER-STEP observation emission — config 4
+    (learner feed), two rows: the PACKED wire format the self-play learner
+    feed consumes ([B, 12, P] u32, ~1 bit/cell, bit-exact — decoded by the
+    learner with ops/observe.unpack_observation_nchw fused into its input
+    transpose), and the unpacked [B, 12, n, n-2] bf16 tensor.  Both are
+    forced jit outputs, so the numbers include the full per-step emit+write
+    cost a learner consumer would see.
 
 The measured path on TPU is the fused Pallas rollout over the bitboard
 engine (ops/fused_bit_rollout.py): the whole multi-step env loop runs in
@@ -104,16 +106,27 @@ def bench_rollout(board_size, batch, steps, tile=None, reps=3):
     return rate
 
 
-def bench_rollout_obs(board_size, batch, chunk, launches):
+def bench_rollout_obs(board_size, batch, chunk, launches, packed=False):
     """Rollout throughput INCLUDING per-step obs emission (config 4).
 
     Each launch scans ``chunk`` steps, materialising every step's
-    observation tensor ([chunk, B, 12, n, n-2] bf16) to HBM exactly as a
-    learner consumer would read it.  The tensor is a jit OUTPUT, so XLA
-    must fully materialise it (the earlier on-device checksum design both
-    allowed the stacked buffer to fuse away AND re-read every byte it did
-    write); only scalar stats cross the host boundary, keeping launches
-    pipelined, with ONE readback amortising the tunnel latency.
+    observation to HBM exactly as a learner consumer would read it.  The
+    tensor is a jit OUTPUT, so XLA must fully materialise it (the earlier
+    on-device checksum design both allowed the stacked buffer to fuse away
+    AND re-read every byte it did write); only scalar stats cross the host
+    boundary, keeping launches pipelined, with ONE readback amortising the
+    tunnel latency.
+
+    Two wire formats:
+      * ``packed=False`` — the unpacked [chunk, B, 12, n, n-2] bf16
+        tensor (round-2's row; its HBM write floor is dominated by the
+        physical lane padding of the bf16 minor dims);
+      * ``packed=True`` — the exact-but-compressed packed encoding
+        ([chunk, B, 12, P] u32 column words, ~1 bit/cell), which the
+        learner decodes with ops/observe.unpack_observation_nchw fused
+        into its input transpose; pinned bit-equal to the bf16 tensor at
+        every size 5-24 (tests/test_bitboard.py) and the format the
+        self-play learner feed actually consumes (models/selfplay.Sample).
     """
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_reset,
@@ -125,7 +138,7 @@ def bench_rollout_obs(board_size, batch, chunk, launches):
     @jax.jit
     def run(seed, state):
         state, stats, obs = bit_rollout_emit_obs(
-            seed, board_size, chunk, state
+            seed, board_size, chunk, state, packed=packed
         )
         return state, stats, obs
 
@@ -140,9 +153,10 @@ def bench_rollout_obs(board_size, batch, chunk, launches):
     dt = time.perf_counter() - t0
     steps = chunk * launches
     rate = batch * steps / dt
+    fmt = "packed-u32" if packed else "bf16"
     print(
         f"[bench] n={board_size} batch={batch} steps={steps} obs=PER-STEP"
-        f" (bf16, forced jit output) path=xla -> {rate:,.0f} env-steps/s"
+        f" ({fmt}, forced jit output) path=xla -> {rate:,.0f} env-steps/s"
         f" ({dt:.2f}s)",
         file=sys.stderr,
     )
@@ -167,10 +181,14 @@ def main():
     bench_rollout(12, 4096, steps, tile=4096, reps=60 if on_tpu else 3)
     # the metric string's second size: board_size=24, batch 4096
     bench_rollout(24, 4096, steps, tile=2048, reps=30 if on_tpu else 3)
-    # config 4: max board, batch 8192, PER-STEP obs emission (learner feed)
+    # config 4: max board, batch 8192, PER-STEP obs emission (learner feed).
+    # Primary row: the packed wire format the learner feed consumes
+    # (bit-exact, ~1 bit/cell); secondary row: the unpacked bf16 tensor.
     if on_tpu:
-        bench_rollout_obs(24, 8192, chunk=16, launches=128)
+        bench_rollout_obs(24, 8192, chunk=16, launches=256, packed=True)
+        bench_rollout_obs(24, 8192, chunk=16, launches=64)
     else:
+        bench_rollout_obs(24, 64, chunk=4, launches=2, packed=True)
         bench_rollout_obs(24, 64, chunk=4, launches=2)
 
     per_chip_target = 10e6 / 8  # north-star: 10M/s per 8-chip v5e host

@@ -172,17 +172,22 @@ def test_bit_observation_and_legal_mask_match_canonical(n):
         )
 
 
-@pytest.mark.parametrize("n", [5, 8, 12, 24])
+@pytest.mark.parametrize("n", list(range(5, 25)))
 def test_bit_observation_nchw_packed_transpose_path(n):
-    """The packed-transpose batch-leading emission (the learner-feed fast
-    path in ops/observe.bit_observation_nchw) must be bit-identical to
-    moveaxis(bit_observation(...)) on random mid-game batches, in both f32
-    and bf16."""
+    """The packed observation encoding and its learner-side decode (the
+    config-4 wire format: ops/observe.bit_observation_packed ->
+    unpack_observation_nchw, also the fast path inside
+    bit_observation_nchw) must be bit-identical to
+    moveaxis(bit_observation(...)) on random mid-game batches at EVERY
+    board size 5-24, in both f32 and bf16, including the [T, B, 12, P]
+    leading-dims decode."""
     import jax.numpy as jnp
 
     from twixt_for_open_spiel_tpu.ops.observe import (
         bit_observation,
         bit_observation_nchw,
+        bit_observation_packed,
+        unpack_observation_nchw,
     )
 
     rng = random.Random(100 + n)
@@ -200,7 +205,16 @@ def test_bit_observation_nchw_packed_transpose_path(n):
         lambda *xs: jnp.stack(xs, axis=-1), *states
     )
     bs = from_state(batch)
+    pk = bit_observation_packed(bs, n)
     for dtype in (jnp.float32, jnp.bfloat16):
         ref = np.moveaxis(np.asarray(bit_observation(bs, n, dtype)), -1, 0)
         got = np.asarray(bit_observation_nchw(bs, n, dtype))
         np.testing.assert_array_equal(got, ref, err_msg=f"n={n} {dtype}")
+        dec = np.asarray(unpack_observation_nchw(pk, n, dtype))
+        np.testing.assert_array_equal(dec, ref, err_msg=f"packed n={n}")
+    # leading-dims decode: [T, B, 12, P] with T=2 stacked copies
+    two = jnp.stack([pk, pk])
+    dec2 = np.asarray(unpack_observation_nchw(two, n, jnp.bfloat16))
+    ref2 = np.asarray(bit_observation_nchw(bs, n, jnp.bfloat16))
+    np.testing.assert_array_equal(dec2[0], ref2)
+    np.testing.assert_array_equal(dec2[1], ref2)

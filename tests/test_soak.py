@@ -3,12 +3,12 @@
 Two layers, mirroring the reference's RandomSimTest breadth
 (twixt_test.cc:25-29) at TPU-framework scale:
 
-1. ``test_bit_replay_matches_native_engine_soak`` — EVERY board size 5-24:
-   the native C engine (native/engine.c, independently written) generates
-   batches of full uniform-random games; the bitboard engine batch-replays
-   them (ops/replay.bit_replay) and every final surface (colors, links,
-   blocked bits, border flags, result, move counter, swap flag) must agree
-   exactly.
+1. ``test_bit_replay_matches_native_engine_soak`` — EVERY board size 5-24,
+   256 games per size in one batched replay: the native C engine
+   (native/engine.c, independently written) generates full uniform-random
+   games; the bitboard engine batch-replays them (ops/replay.bit_replay)
+   and every final surface (colors, links, blocked bits, border flags,
+   result, move counter, swap flag) must agree exactly.
 2. ``test_twixtstate_random_sim`` — the OpenSpiel ``RandomSimTest(game,
    100)`` analogue at the TwixTState API level: 100 full random games across
    sizes, asserting State invariants every step (legal list non-empty and
@@ -49,7 +49,10 @@ def _core_flat(arr, n, b):
 @needs_engine
 @pytest.mark.parametrize("n", list(range(5, 25)))
 def test_bit_replay_matches_native_engine_soak(n):
-    games = 32 if n <= 10 else (16 if n <= 16 else 8)
+    # 256 full random games per size, replayed in ONE batched bit_replay
+    # call (the generator does ~68k games/s and the replay is batched, so
+    # breadth is nearly free — round-2 verdict item 7).
+    games = 256
     histories, final = [], []
     for gi in range(games):
         acts, res = random_game(n, seed=97 * n + gi)

@@ -29,14 +29,25 @@ from twixt_for_open_spiel_tpu.ops.bitboard import (
     bit_legal_mask_flat,
     bit_step_auto_reset,
 )
-from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
+from twixt_for_open_spiel_tpu.ops.observe import (
+    bit_observation_packed,
+    unpack_observation_nchw,
+)
 from twixt_for_open_spiel_tpu.models import mcts
 
 
 class Sample(NamedTuple):
-    """One training chunk, time-major [T, B, ...]."""
+    """One training chunk, time-major [T, B, ...].
 
-    obs: jnp.ndarray       # f32 [T, B, 12, N, N-2]
+    ``obs`` is stored in the PACKED observation encoding ([T, B, 12, P]
+    u32 column words, ~1 bit/cell — ops/observe.bit_observation_packed):
+    16-32x less HBM than the unpacked bf16 tensor, so the chunk buffer
+    stays small at large env batches.  The learner decodes it with
+    ``unpack_observation_nchw`` fused into its input transpose
+    (loss_fn); the encoding is pinned bit-exact (tests/test_bitboard.py).
+    """
+
+    obs: jnp.ndarray       # u32 [T, B, 12, P] packed observation planes
     policy: jnp.ndarray    # f32 [T, B, A] MCTS visit distribution
     value: jnp.ndarray     # f32 [T, B] outcome from mover's perspective
     weight: jnp.ndarray    # f32 [T, B] 0 for positions of unfinished games
@@ -80,7 +91,7 @@ def selfplay_chunk(
     def body(carry, i):
         bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
-        obs = bit_observation_nchw(bs, board_size)
+        obs = bit_observation_packed(bs, board_size)
         player = jnp.clip(bs.current_player, 0, 1)
 
         if search == "gumbel":
@@ -164,7 +175,11 @@ def make_optimizer(lr: float = 2e-3, weight_decay: float = 1e-4):
 
 def loss_fn(params, net_apply, sample: Sample):
     t, b = sample.obs.shape[:2]
-    obs = sample.obs.reshape((t * b,) + sample.obs.shape[2:])
+    a_dim = sample.policy.shape[-1]
+    n = int(round(a_dim ** 0.5))  # action space is board_size**2
+    obs = unpack_observation_nchw(
+        sample.obs.reshape((t * b,) + sample.obs.shape[2:]), n
+    )
     logits, value = net_apply(params, obs)
     logits = logits.reshape(t, b, -1)
     value = value.reshape(t, b)

@@ -623,8 +623,10 @@ def bit_random_rollout(seed, board_size: int, num_steps: int, bs: BitState):
     return bs, {"episodes": episodes, "results": results}
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def bit_rollout_emit_obs(seed, board_size: int, num_steps: int, bs: BitState):
+@functools.partial(jax.jit, static_argnums=(1, 2), static_argnames=("packed",))
+def bit_rollout_emit_obs(
+    seed, board_size: int, num_steps: int, bs: BitState, packed: bool = False
+):
     """Lockstep random rollout emitting the observation tensor at EVERY step
     — the learner-feed workload (BASELINE config 4): each step's observation
     is materialised to HBM exactly as a learner consumer would read it,
@@ -635,8 +637,18 @@ def bit_rollout_emit_obs(seed, board_size: int, num_steps: int, bs: BitState):
     twixt.cc:101-132 for the tensor, twixtboard.cc:457-499 for the step).
     Returns (final_state, stats, obs[T, B, 12, n, n-2] bf16).  ``bs`` must
     carry a 1-D trailing env batch.
+
+    With ``packed=True`` the emitted tensor is the exact-but-compressed
+    packed encoding instead — [T, B, 12, P] u32 column words (~1 bit/cell,
+    16-32x fewer HBM bytes than bf16), decoded by the learner with
+    ``ops.observe.unpack_observation_nchw`` fused into its input
+    transpose.  The pair is pinned bit-equal to the bf16 tensor
+    (tests/test_bitboard.py).
     """
-    from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
+    from twixt_for_open_spiel_tpu.ops.observe import (
+        bit_observation_nchw,
+        bit_observation_packed,
+    )
 
     nenv = bs.current_player.shape[-1]
     env = jnp.arange(nenv, dtype=_U32)
@@ -644,7 +656,10 @@ def bit_rollout_emit_obs(seed, board_size: int, num_steps: int, bs: BitState):
 
     def body(carry, i):
         bs, episodes = carry
-        obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
+        if packed:
+            obs = bit_observation_packed(bs, board_size)
+        else:
+            obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
         noise = _hash_u32(
             seed + _U32(2654435761) * (i.astype(_U32) + _U32(1))
         ) + env * _U32(0x9E3779B9)

@@ -137,33 +137,26 @@ def bit_observation(bs, board_size: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack(planes).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
-    """Batched bitboard observation, network layout [B, 12, size, size-2].
+@functools.partial(jax.jit, static_argnums=(1,))
+def bit_observation_packed(bs, board_size: int) -> jnp.ndarray:
+    """Observation as PACKED u32 column words, batch-leading: [B, 12, P].
 
-    The batch-leading layout needs a lane-major -> batch-major transpose;
-    doing it on the UNPACKED tensor (the round-1 path: unpack to
-    [12, n, n-2, B] then moveaxis) moves 8-32x more bytes than the packed
-    planes hold.  This path instead:
+    The exact-but-compressed wire format of the learner feed (~1 bit per
+    cell instead of 2 bytes of bf16): the 12 observation planes are
+    computed with pure bitwise ops on the engine's bitplanes and the only
+    cross-layout move is the packed [12, P, B] -> [B, 12, P] transpose.
+    ``P`` is the padded board width (one u32 word per board column, bits
+    along y).  Decode with :func:`unpack_observation_nchw`; the pair is
+    pinned bit-equal to :func:`bit_observation` at every size 5-24
+    (tests/test_bitboard.py).
 
-      1. computes the 12 observation planes as PACKED u32 column words
-         (pure bitwise ops on the engine's bitplanes);
-      2. transposes the packed stack [12, P, B] -> [B, 12, P] (the only
-         cross-layout move, at ~1 bit/cell);
-      3. unpacks directly into the output layout, using the coordinate
-         remaps' structure (reference twixtboard.cc:590-597): for the red
-         block the word index is the output COLUMN and the bit shift the
-         output row; for the blue block the word index is the output ROW
-         (via a static flip) and the bit shift the output column.
-
-    Emits bit-identically to ``moveaxis(bit_observation(...), -1, 0)``
-    (pinned by tests/test_bitboard.py); measured 7x faster at the config-4
-    learner-feed shape (board 24, batch 8192).
+    Plane semantics match the reference's tensor emission exactly
+    (twixt.cc:76-132): planes 0/6 = peg with no links, 1-4/7-10 = east
+    link dirs, 5/11 = blocked east neighbors; the coordinate remaps
+    (twixtboard.cc:590-597) are applied at unpack time, where they are
+    static shifts/flips.
     """
     from twixt_for_open_spiel_tpu.ops.bitboard import expand_planes
-
-    n = board_size
-    pad = geo.PAD
 
     any_link = bs.links[0]
     for pl in expand_planes(bs.links)[1:]:
@@ -176,11 +169,27 @@ def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
             packed.append(is_color & bs.links[d])
         packed.append(is_color & blocked_e)   # plane 5 / 11
     stack = jnp.stack(packed)                 # [12, P, *B] u32
+    assert stack.ndim == 3, "bit_observation_packed wants a 1-D env batch"
+    return jnp.transpose(stack, (2, 0, 1))    # [B, 12, P]
 
-    if stack.ndim != 3:  # exotic batch shapes: fall back to the slow path
-        return jnp.moveaxis(bit_observation(bs, board_size, dtype), -1, 0)
 
-    pk = jnp.transpose(stack, (2, 0, 1))      # [B, 12, P] packed transpose
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def unpack_observation_nchw(pk, board_size: int, dtype=jnp.float32):
+    """Decode packed observation words to the network layout
+    [B, 12, size, size-2] (the learner-side unpack, fused by XLA into the
+    net's input transpose when jitted together).
+
+    Uses the coordinate remaps' structure (reference twixtboard.cc:590-597):
+    for the red block the word index is the output COLUMN and the bit
+    shift the output row; for the blue block the word index is the output
+    ROW (via a static flip) and the bit shift the output column.
+
+    Accepts leading batch dims beyond one (e.g. [T, B, 12, P]).
+    """
+    n = board_size
+    pad = geo.PAD
+    lead = pk.shape[:-2]
+    pk = pk.reshape((-1,) + pk.shape[-2:])
     red_pk, blue_pk = pk[:, :6, :], pk[:, 6:, :]
     one = jnp.uint32(1)
     # red block: out[r, c] = bit(word[x = pad+c+1], y = pad+n-1-r)
@@ -195,4 +204,26 @@ def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
         jnp.uint32(pad + n - 2) - jnp.arange(n - 2, dtype=jnp.uint32)
     ).reshape(1, 1, 1, n - 2)
     blue_obs = (words_b[:, :, :, None] >> shifts_b) & one   # [B, 6, n, n-2]
-    return jnp.concatenate([red_obs, blue_obs], axis=1).astype(dtype)
+    out = jnp.concatenate([red_obs, blue_obs], axis=1).astype(dtype)
+    return out.reshape(lead + out.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bit_observation_nchw(bs, board_size: int, dtype=jnp.float32):
+    """Batched bitboard observation, network layout [B, 12, size, size-2].
+
+    The batch-leading layout needs a lane-major -> batch-major transpose;
+    doing it on the UNPACKED tensor (the round-1 path: unpack to
+    [12, n, n-2, B] then moveaxis) moves 8-32x more bytes than the packed
+    planes hold.  This path is :func:`bit_observation_packed` (planes as
+    u32 words, one packed transpose) followed by
+    :func:`unpack_observation_nchw`, all inside one fusion.
+
+    Emits bit-identically to ``moveaxis(bit_observation(...), -1, 0)``
+    (pinned by tests/test_bitboard.py); measured 7x faster at the config-4
+    learner-feed shape (board 24, batch 8192) than the round-1 path.
+    """
+    if bs.red.ndim != 2:  # exotic batch shapes: fall back to the slow path
+        return jnp.moveaxis(bit_observation(bs, board_size, dtype), -1, 0)
+    pk = bit_observation_packed(bs, board_size)
+    return unpack_observation_nchw(pk, board_size, dtype)
