@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Close the loop: train config-5 self-play for real and PROVE strength.
+
+The reference exists to be played well (its README drives OpenSpiel's MCTS
+bots, /root/reference/README.md:36-42); throughput alone doesn't show the
+TPU-native stack does that job.  This script runs the full self-play ->
+train loop on the visible device (the real chip, or CPU with --smoke),
+checkpointing via utils/serialization, and GATES the result with the
+batched arena (models/arena.py):
+
+  * at every gate iteration, current params vs the INITIAL params
+    (both sides searching with the same simulation budget) — the
+    iteration-vs-arena-score strength curve;
+  * at the end, current params vs uniform-RANDOM moves.
+
+Pass criteria (docs/PERF.md records the measured curve):
+  trained-vs-init a_score >= 0.8 and trained-vs-random a_score >= 0.8
+  over >= 256 games at fixed simulations.
+
+Usage (real chip):
+    python scripts/train_arena_gate.py --iterations=400 \
+        --checkpoint_dir=/tmp/twixt_az_gate
+Smoke (CPU, tiny): python scripts/train_arena_gate.py --smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--board_size", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--chunk_steps", type=int, default=24)
+    ap.add_argument("--simulations", type=int, default=64)
+    ap.add_argument("--iterations", type=int, default=400)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--arena_batch", type=int, default=256)
+    ap.add_argument("--arena_sims", type=int, default=64)
+    ap.add_argument("--gates", default="25,50,100,200,300,400",
+                    help="comma-separated iterations at which to arena-gate")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--log", default=None, help="JSONL metrics file")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU run to validate the loop end to end")
+    args = ap.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        args.board_size, args.batch, args.chunk_steps = 5, 32, 8
+        args.simulations, args.channels, args.blocks = 8, 16, 1
+        args.iterations, args.arena_batch, args.arena_sims = 4, 16, 8
+        args.gates = "2,4"
+
+    import numpy as np
+
+    from twixt_for_open_spiel_tpu.models import (
+        arena_match,
+        create_net,
+        init_params,
+        make_optimizer,
+        selfplay_chunk,
+        train_step,
+    )
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
+    from twixt_for_open_spiel_tpu.utils import serialization
+
+    n = args.board_size
+    gates = sorted(int(g) for g in args.gates.split(",") if g)
+    print(
+        f"[train] backend={jax.default_backend()} n={n} batch={args.batch} "
+        f"chunk={args.chunk_steps} sims={args.simulations} "
+        f"net={args.channels}x{args.blocks} iters={args.iterations} "
+        f"gates={gates}",
+        file=sys.stderr,
+    )
+    logf = open(args.log, "a") if args.log else None
+
+    def emit(rec):
+        line = json.dumps(rec)
+        print(line, file=sys.stderr)
+        if logf:
+            logf.write(line + "\n")
+            logf.flush()
+
+    net = create_net(n, channels=args.channels, blocks=args.blocks)
+    params0 = init_params(net, jax.random.PRNGKey(args.seed))
+    params = params0
+    opt = make_optimizer(args.lr)
+    opt_state = opt.init(params)
+
+    def gate(params, it, key):
+        t0 = time.perf_counter()
+        tally = arena_match(
+            params,
+            params0,
+            key,
+            net_apply=net.apply,
+            board_size=n,
+            batch=args.arena_batch,
+            num_simulations=args.arena_sims,
+        )
+        tally = {k: float(np.asarray(v)) for k, v in tally.items()}
+        emit(
+            {
+                "kind": "gate_vs_init",
+                "iteration": it,
+                "a_score": tally["a_score"],
+                "a_wins": tally["a_wins"],
+                "b_wins": tally["b_wins"],
+                "draws": tally["draws"],
+                "games": tally["games"],
+                "secs": round(time.perf_counter() - t0, 1),
+            }
+        )
+        return tally["a_score"]
+
+    state = bit_reset(n, args.batch)
+    key = jax.random.PRNGKey(args.seed + 1)
+    t_start = time.perf_counter()
+    for it in range(1, args.iterations + 1):
+        t0 = time.perf_counter()
+        key, k = jax.random.split(key)
+        state, sample = selfplay_chunk(
+            params,
+            state,
+            k,
+            net_apply=net.apply,
+            board_size=n,
+            num_steps=args.chunk_steps,
+            num_simulations=args.simulations,
+        )
+        params, opt_state, metrics = train_step(
+            params, opt_state, sample, net_apply=net.apply, optimizer=opt
+        )
+        loss = float(np.asarray(metrics["loss"]))  # forces the readback
+        dt = time.perf_counter() - t0
+        if it <= 3 or it % 10 == 0:
+            emit(
+                {
+                    "kind": "train",
+                    "iteration": it,
+                    "loss": round(loss, 4),
+                    "policy_loss": round(
+                        float(np.asarray(metrics["policy_loss"])), 4
+                    ),
+                    "value_loss": round(
+                        float(np.asarray(metrics["value_loss"])), 4
+                    ),
+                    "train_frames": int(
+                        np.asarray(metrics["train_frames"])
+                    ),
+                    "secs": round(dt, 2),
+                    "moves_per_s": round(
+                        args.batch * args.chunk_steps / dt
+                    ),
+                }
+            )
+        if it in gates:
+            key, kg = jax.random.split(key)
+            gate(params, it, kg)
+            if args.checkpoint_dir:
+                serialization.save_training(
+                    args.checkpoint_dir, params, opt_state, it
+                )
+
+    # final gate vs uniform-random moves
+    key, kr = jax.random.split(key)
+    t0 = time.perf_counter()
+    tally = arena_match(
+        params,
+        params,  # B's tree-params equal A's: random_b replaces B's MOVES
+        kr,
+        net_apply=net.apply,
+        board_size=n,
+        batch=args.arena_batch,
+        num_simulations=args.arena_sims,
+        random_b=True,
+    )
+    tally = {k: float(np.asarray(v)) for k, v in tally.items()}
+    emit(
+        {
+            "kind": "gate_vs_random",
+            "iteration": args.iterations,
+            "a_score": tally["a_score"],
+            "a_wins": tally["a_wins"],
+            "b_wins": tally["b_wins"],
+            "draws": tally["draws"],
+            "games": tally["games"],
+            "secs": round(time.perf_counter() - t0, 1),
+        }
+    )
+    emit(
+        {
+            "kind": "done",
+            "total_secs": round(time.perf_counter() - t_start, 1),
+        }
+    )
+    if logf:
+        logf.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,10 @@ from twixt_for_open_spiel_tpu.models.network import (
     init_params,
     masked_policy,
 )
-from twixt_for_open_spiel_tpu.models.arena import arena_match
+from twixt_for_open_spiel_tpu.models.arena import (
+    arena_match,
+    arena_match_asym,
+)
 from twixt_for_open_spiel_tpu.models.mcts import (
     batched_search,
     gumbel_search_batch,
@@ -24,6 +27,7 @@ __all__ = [
     "init_params",
     "masked_policy",
     "arena_match",
+    "arena_match_asym",
     "batched_search",
     "gumbel_search_batch",
     "search_batch",

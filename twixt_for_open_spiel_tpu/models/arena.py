@@ -154,7 +154,10 @@ def arena_match(
         cond, body, (bs, jnp.int32(0), key)
     )
 
-    res = bs.result
+    return _tally(bs.result, a_is_red, batch, moves)
+
+
+def _tally(res, a_is_red, batch, moves):
     a_win = ((res == geo.RESULT_RED_WIN) & a_is_red) | (
         (res == geo.RESULT_BLUE_WIN) & ~a_is_red
     )
@@ -173,3 +176,99 @@ def arena_match(
         "moves": moves,
         "a_score": (a_wins + 0.5 * draws) / batch,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "net_apply", "board_size", "batch", "sims_a", "sims_b", "temp_moves",
+    ),
+)
+def arena_match_asym(
+    params,
+    key,
+    *,
+    net_apply,
+    board_size: int,
+    batch: int,
+    sims_a: int,
+    sims_b: int,
+    temp_moves: int = 6,
+    c_puct: float = 1.4,
+):
+    """A-vs-B with the SAME net but different SEARCHES: side A plays Gumbel
+    sequential halving at ``sims_a`` simulations, side B AlphaZero PUCT
+    (no Dirichlet) at ``sims_b`` — the equal-strength-per-simulation
+    experiment behind Gumbel's "fewer simulations at equal strength" claim
+    (Danihelka et al. 2022; measured result in docs/PERF.md).
+
+    All envs are in lockstep from reset, so the player to move is uniform
+    across the batch each ply; which SIDE that player is still varies by
+    env (colors alternate: A is red in even envs).  Both searches run on
+    the full batch every move and the action is selected per env by whose
+    turn it is — 2x search cost, one compile, no ragged control flow.
+
+    Openings are diversified by Gumbel noise on A's side and by
+    visit-distribution sampling for the first ``temp_moves`` plies on B's.
+    """
+    n = board_size
+    a_is_red = (jnp.arange(batch, dtype=jnp.int32) % 2) == 0
+    bs = bit_reset(n, batch)
+    dummy = bit_reset(n, batch)
+    evaluator = mcts.net_evaluator(net_apply, n)
+    max_moves = n * n - 3 + 1  # MaxGameLength (reference twixt.h:136-139)
+
+    def cond(carry):
+        bs, move, key = carry
+        return jnp.any(bs.result == geo.RESULT_OPEN) & (move < max_moves)
+
+    def body(carry):
+        bs, move, key = carry
+        key, k_g, k_p, k_act = jax.random.split(key, 4)
+        open_ = bs.result == geo.RESULT_OPEN
+        safe = jax.tree_util.tree_map(
+            lambda live, d: jnp.where(
+                jnp.broadcast_to(open_, live.shape), live, d
+            ),
+            bs,
+            dummy,
+        )
+        player = jnp.clip(safe.current_player, 0, 1)
+        a_to_move = (player == 0) == a_is_red
+
+        act_a, _, _ = mcts.gumbel_search_batch(
+            params, safe, k_g,
+            evaluator=evaluator, board_size=n, num_simulations=sims_a,
+            c_puct=c_puct,
+        )
+        probs, _ = mcts.search_batch(
+            params, safe, k_p,
+            evaluator=evaluator, board_size=n, num_simulations=sims_b,
+            c_puct=c_puct, dirichlet_frac=0.0,
+        )
+        legal = jnp.moveaxis(bit_legal_mask_flat(safe, player, n), 0, -1)
+        logits = jnp.where(
+            legal, jnp.log(jnp.maximum(probs, 1e-9)), -jnp.inf
+        )
+        sampled = jax.random.categorical(k_act, logits, axis=-1).astype(
+            jnp.int32
+        )
+        greedy = jnp.argmax(jnp.where(legal, probs, -1.0), -1).astype(
+            jnp.int32
+        )
+        act_b = jnp.where(move < temp_moves, sampled, greedy)
+        action = jnp.where(a_to_move, act_a.astype(jnp.int32), act_b)
+        nxt = step_bits(safe, n, action)
+        bs = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                jnp.broadcast_to(open_, new.shape), new, old
+            ),
+            nxt,
+            bs,
+        )
+        return bs, move + 1, key
+
+    bs, moves, _ = jax.lax.while_loop(
+        cond, body, (bs, jnp.int32(0), key)
+    )
+    return _tally(bs.result, a_is_red, batch, moves)
