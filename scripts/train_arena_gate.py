@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--chunk_steps", type=int, default=24)
     ap.add_argument("--simulations", type=int, default=64)
     ap.add_argument("--iterations", type=int, default=400)
+    ap.add_argument("--temp_moves", type=int, default=12,
+                    help="opening plies with temperature sampling; greedy after")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
@@ -147,6 +149,7 @@ def main():
             board_size=n,
             num_steps=args.chunk_steps,
             num_simulations=args.simulations,
+            temp_moves=args.temp_moves,
         )
         params, opt_state, metrics = train_step(
             params, opt_state, sample, net_apply=net.apply, optimizer=opt

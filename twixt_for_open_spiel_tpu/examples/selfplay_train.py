@@ -53,6 +53,8 @@ def main(argv=None):
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--temp_moves", type=int, default=10 ** 9,
+                    help="opening plies with temperature sampling (puct search)")
     ap.add_argument("--search", choices=("puct", "gumbel"),
                     default="puct",
                     help="root search: AlphaZero PUCT+Dirichlet or Gumbel sequential halving")
@@ -84,7 +86,7 @@ def main(argv=None):
     selfplay, _ = make_distributed_selfplay(
         net.apply, n, num_steps=args.chunk_steps,
         num_simulations=args.simulations, mesh=mesh,
-        search=args.search,
+        search=args.search, temp_moves=args.temp_moves,
     )
     trainer, _ = make_distributed_train_step(net.apply, opt, mesh)
 

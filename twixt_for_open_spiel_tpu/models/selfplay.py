@@ -56,7 +56,8 @@ class Sample(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "net_apply", "board_size", "num_steps", "num_simulations", "search"
+        "net_apply", "board_size", "num_steps", "num_simulations", "search",
+        "temp_moves",
     ),
 )
 def selfplay_chunk(
@@ -69,6 +70,7 @@ def selfplay_chunk(
     num_steps: int,
     num_simulations: int,
     temperature: float = 1.0,
+    temp_moves: int = 10 ** 9,
     search: str = "puct",
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
@@ -80,7 +82,9 @@ def selfplay_chunk(
 
     ``search`` selects the move generator: ``"puct"`` — AlphaZero search
     with Dirichlet root noise, visit-count policy targets, and
-    temperature-sampled actions; ``"gumbel"`` — Gumbel sequential halving
+    temperature-sampled actions (greedy argmax once an episode's move
+    counter reaches ``temp_moves``, the AlphaZero opening-temperature
+    anneal; the default never anneals); ``"gumbel"`` — Gumbel sequential halving
     (mcts.gumbel_search_batch): the sampled Gumbels are the exploration,
     the chosen candidate is played directly, and the policy target is the
     completed-Q improved policy.
@@ -119,7 +123,11 @@ def selfplay_chunk(
                 bit_legal_mask_flat(bs, player, board_size), 0, -1
             )  # [B, A]
             logits = jnp.where(legal, logits, -jnp.inf)
-            actions = jax.random.categorical(k_act, logits, axis=-1)
+            sampled = jax.random.categorical(k_act, logits, axis=-1)
+            greedy = jnp.argmax(jnp.where(legal, probs, -1.0), axis=-1)
+            actions = jnp.where(
+                bs.move_counter < temp_moves, sampled, greedy
+            )
 
         nxt, done, result = bit_step_auto_reset(
             bs, actions.astype(jnp.int32), board_size

@@ -77,7 +77,7 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
 
 def make_distributed_selfplay(
     net_apply, board_size, num_steps, num_simulations, mesh=None,
-    search="puct",
+    search="puct", temp_moves=10 ** 9,
 ):
     """(params, bitstate, key) -> (bitstate, sample) with env-sharded
     state/sample.  The env state is the bitboard representation throughout
@@ -109,6 +109,7 @@ def make_distributed_selfplay(
             num_steps=num_steps,
             num_simulations=num_simulations,
             search=search,
+            temp_moves=temp_moves,
         )
 
     return jax.jit(dist_selfplay), mesh
