@@ -8,7 +8,7 @@ Rows (stderr), matching BASELINE.json's metric string and configs:
   * board_size=24, batch 4096  — the metric string's second size
   * board_size=24, batch 8192 + PER-STEP observation emission — config 4
     (learner feed), two rows: the PACKED wire format the self-play learner
-    feed consumes ([B, 12, P] u32, ~1 bit/cell, bit-exact — decoded by the
+    feed consumes ([B, 12*P] u32, ~1 bit/cell, bit-exact — decoded by the
     learner with ops/observe.unpack_observation_nchw fused into its input
     transpose), and the unpacked [B, 12, n, n-2] bf16 tensor.  Both are
     forced jit outputs, so the numbers include the full per-step emit+write
@@ -122,7 +122,8 @@ def bench_rollout_obs(board_size, batch, chunk, launches, packed=False):
         tensor (round-2's row; its HBM write floor is dominated by the
         physical lane padding of the bf16 minor dims);
       * ``packed=True`` — the exact-but-compressed packed encoding
-        ([chunk, B, 12, P] u32 column words, ~1 bit/cell), which the
+        ([chunk, B, 12*P] u32 column words — trailing dims coalesced so the
+        scan's per-step writes use all 128 lanes), which the
         learner decodes with ops/observe.unpack_observation_nchw fused
         into its input transpose; pinned bit-equal to the bf16 tensor at
         every size 5-24 (tests/test_bitboard.py) and the format the

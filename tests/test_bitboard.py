@@ -187,6 +187,8 @@ def test_bit_observation_nchw_packed_transpose_path(n):
         bit_observation,
         bit_observation_nchw,
         bit_observation_packed,
+        bit_observation_packed_lanes,
+        unpack_observation_lanes_nchw,
         unpack_observation_nchw,
     )
 
@@ -218,3 +220,14 @@ def test_bit_observation_nchw_packed_transpose_path(n):
     ref2 = np.asarray(bit_observation_nchw(bs, n, jnp.bfloat16))
     np.testing.assert_array_equal(dec2[0], ref2)
     np.testing.assert_array_equal(dec2[1], ref2)
+    # lane-major wire format (the config-4 primary / Sample.obs layout):
+    # [12, P, B] and its [T, 12, P, B] decode
+    lanes = bit_observation_packed_lanes(bs, n)
+    dec3 = np.asarray(unpack_observation_lanes_nchw(lanes, n, jnp.bfloat16))
+    np.testing.assert_array_equal(dec3, ref2, err_msg=f"lanes n={n}")
+    two_l = jnp.stack([lanes, lanes])
+    dec4 = np.asarray(
+        unpack_observation_lanes_nchw(two_l, n, jnp.bfloat16)
+    )
+    np.testing.assert_array_equal(dec4[0], ref2)
+    np.testing.assert_array_equal(dec4[1], ref2)

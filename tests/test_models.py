@@ -147,7 +147,7 @@ def test_selfplay_chunk_and_train(params):
         num_steps=t,
         num_simulations=8,
     )
-    assert sample.obs.shape == (t, b, geo.NUM_PLANES, N + 2 * geo.PAD)
+    assert sample.obs.shape == (t, b, geo.NUM_PLANES * (N + 2 * geo.PAD))
     assert sample.policy.shape == (t, b, N * N)
     assert sample.value.shape == (t, b)
     w = np.asarray(sample.weight)
@@ -311,7 +311,7 @@ def test_selfplay_chunk_gumbel(params):
         num_simulations=8,
         search="gumbel",
     )
-    assert sample.obs.shape == (3, 4, geo.NUM_PLANES, N + 2 * geo.PAD)
+    assert sample.obs.shape == (3, 4, geo.NUM_PLANES * (N + 2 * geo.PAD))
     p = np.asarray(sample.policy)
     assert np.all(p >= 0)
     assert np.allclose(p.sum(-1), 1.0, atol=1e-4)

@@ -39,15 +39,17 @@ from twixt_for_open_spiel_tpu.models import mcts
 class Sample(NamedTuple):
     """One training chunk, time-major [T, B, ...].
 
-    ``obs`` is stored in the PACKED observation encoding ([T, B, 12, P]
-    u32 column words, ~1 bit/cell — ops/observe.bit_observation_packed):
-    16-32x less HBM than the unpacked bf16 tensor, so the chunk buffer
-    stays small at large env batches.  The learner decodes it with
+    ``obs`` is stored in the PACKED observation encoding ([T, B, 12*P]
+    u32 column words, ~1 bit/cell — ops/observe.bit_observation_packed
+    with the trailing dims coalesced so the scan's per-step writes use
+    all 128 lanes, see ops/bitboard.bit_rollout_emit_obs): 16-32x less
+    HBM than the unpacked bf16 tensor, so the chunk buffer stays small at
+    large env batches.  The learner decodes it with
     ``unpack_observation_nchw`` fused into its input transpose
     (loss_fn); the encoding is pinned bit-exact (tests/test_bitboard.py).
     """
 
-    obs: jnp.ndarray       # u32 [T, B, 12, P] packed observation planes
+    obs: jnp.ndarray       # u32 [T, B, 12*P] packed observation planes
     policy: jnp.ndarray    # f32 [T, B, A] MCTS visit distribution
     value: jnp.ndarray     # f32 [T, B] outcome from mover's perspective
     weight: jnp.ndarray    # f32 [T, B] 0 for positions of unfinished games
@@ -95,7 +97,8 @@ def selfplay_chunk(
     def body(carry, i):
         bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
-        obs = bit_observation_packed(bs, board_size)
+        pk = bit_observation_packed(bs, board_size)
+        obs = pk.reshape(pk.shape[0], -1)  # coalesce: dense lane writes
         player = jnp.clip(bs.current_player, 0, 1)
 
         if search == "gumbel":
@@ -186,7 +189,7 @@ def loss_fn(params, net_apply, sample: Sample):
     a_dim = sample.policy.shape[-1]
     n = int(round(a_dim ** 0.5))  # action space is board_size**2
     obs = unpack_observation_nchw(
-        sample.obs.reshape((t * b,) + sample.obs.shape[2:]), n
+        sample.obs.reshape(t * b, 12, sample.obs.shape[-1] // 12), n
     )
     logits, value = net_apply(params, obs)
     logits = logits.reshape(t, b, -1)

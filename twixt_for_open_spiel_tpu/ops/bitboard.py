@@ -639,11 +639,15 @@ def bit_rollout_emit_obs(
     carry a 1-D trailing env batch.
 
     With ``packed=True`` the emitted tensor is the exact-but-compressed
-    packed encoding instead — [T, B, 12, P] u32 column words (~1 bit/cell,
+    packed encoding instead — [T, B, 12*P] u32 column words (~1 bit/cell,
     16-32x fewer HBM bytes than bf16), decoded by the learner with
-    ``ops.observe.unpack_observation_nchw`` fused into its input
-    transpose.  The pair is pinned bit-equal to the bf16 tensor
-    (tests/test_bitboard.py).
+    ``obs.reshape(T, B, 12, P)`` + ``ops.observe.unpack_observation_nchw``
+    fused into its input transpose.  The encoding is pinned bit-equal to
+    the bf16 tensor (tests/test_bitboard.py).  The trailing dims are
+    COALESCED into one: measured on v5e at the config-4 shape, the 3-D
+    [B, 12, P] form leaves only P of 128 lanes live in the scan's per-step
+    output writes (~14M env-steps/s) while the coalesced form writes
+    dense (~39M; scripts/perf_obs_emit.py).
     """
     from twixt_for_open_spiel_tpu.ops.observe import (
         bit_observation_nchw,
@@ -657,7 +661,8 @@ def bit_rollout_emit_obs(
     def body(carry, i):
         bs, episodes = carry
         if packed:
-            obs = bit_observation_packed(bs, board_size)
+            pk = bit_observation_packed(bs, board_size)
+            obs = pk.reshape(pk.shape[0], -1)
         else:
             obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
         noise = _hash_u32(

@@ -138,6 +138,50 @@ def bit_observation(bs, board_size: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def bit_observation_packed_lanes(bs, board_size: int) -> jnp.ndarray:
+    """Observation as PACKED u32 column words in the ENGINE's lane-major
+    layout: [12, P, B] (env batch trailing = TPU lanes, zero physical
+    padding on the minor dim).
+
+    The cheapest possible materialisation of the observation — pure
+    bitwise ops on the engine's bitplanes, NO cross-layout transpose: that
+    cost moves to the consumer, who pays it once per training chunk
+    (amortised over T x B frames) instead of once per env step.  This is
+    the wire format the self-play learner feed stores
+    (models/selfplay.Sample) and the primary config-4 bench row.
+
+    Decode: transpose to [..., B, 12, P] and apply
+    :func:`unpack_observation_nchw` (or use
+    :func:`unpack_observation_lanes_nchw`).  Plane semantics match the
+    reference's tensor emission exactly (twixt.cc:76-132).
+    """
+    from twixt_for_open_spiel_tpu.ops.bitboard import expand_planes
+
+    any_link = bs.links[0]
+    for pl in expand_planes(bs.links)[1:]:
+        any_link = any_link | pl
+    blocked_e = bs.blocked[0] | bs.blocked[1] | bs.blocked[2] | bs.blocked[3]
+    packed = []
+    for is_color in (bs.red, bs.blue):
+        packed.append(is_color & ~any_link)   # plane 0 / 6
+        for d in range(4):                    # planes 1-4 / 7-10
+            packed.append(is_color & bs.links[d])
+        packed.append(is_color & blocked_e)   # plane 5 / 11
+    return jnp.stack(packed)                  # [12, P, *B] u32
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def unpack_observation_lanes_nchw(pk, board_size: int, dtype=jnp.float32):
+    """Decode lane-major packed planes ([..., 12, P, B]) to the network
+    layout [..., B, 12, n, n-2]: one transpose (the consumer-side cost the
+    lane-major wire format defers) + the static unpack."""
+    perm = tuple(range(pk.ndim - 3)) + (pk.ndim - 1, pk.ndim - 3, pk.ndim - 2)
+    return unpack_observation_nchw(
+        jnp.transpose(pk, perm), board_size, dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def bit_observation_packed(bs, board_size: int) -> jnp.ndarray:
     """Observation as PACKED u32 column words, batch-leading: [B, 12, P].
 
@@ -156,19 +200,7 @@ def bit_observation_packed(bs, board_size: int) -> jnp.ndarray:
     (twixtboard.cc:590-597) are applied at unpack time, where they are
     static shifts/flips.
     """
-    from twixt_for_open_spiel_tpu.ops.bitboard import expand_planes
-
-    any_link = bs.links[0]
-    for pl in expand_planes(bs.links)[1:]:
-        any_link = any_link | pl
-    blocked_e = bs.blocked[0] | bs.blocked[1] | bs.blocked[2] | bs.blocked[3]
-    packed = []
-    for is_color in (bs.red, bs.blue):
-        packed.append(is_color & ~any_link)   # plane 0 / 6
-        for d in range(4):                    # planes 1-4 / 7-10
-            packed.append(is_color & bs.links[d])
-        packed.append(is_color & blocked_e)   # plane 5 / 11
-    stack = jnp.stack(packed)                 # [12, P, *B] u32
+    stack = bit_observation_packed_lanes(bs, board_size)  # [12, P, *B]
     assert stack.ndim == 3, "bit_observation_packed wants a 1-D env batch"
     return jnp.transpose(stack, (2, 0, 1))    # [B, 12, P]
 
