@@ -180,8 +180,20 @@ def selfplay_chunk(
     return final_bs, sample
 
 
-def make_optimizer(lr: float = 2e-3, weight_decay: float = 1e-4):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 2e-3, weight_decay: float = 1e-4, clip_norm: float = 1.0
+):
+    """adamw with global-norm gradient clipping.
+
+    Clipping matters for the value head: outcome targets are almost always
+    +-1 (draws are rare above board 5), so un-clipped adam saturates the
+    tanh early — measured as value MSE ~1.9 (saturated, uncorrelated)
+    while the policy loss kept falling (round-3 training runs).
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
 
 
 def loss_fn(params, net_apply, sample: Sample):
