@@ -237,6 +237,29 @@ def test_arena_self_match_is_balanced(params):
     assert 0.15 <= score <= 0.85, out
 
 
+def test_arena_asym_gumbel_vs_puct_runs(params):
+    # The asymmetric arena (Gumbel side A at sims_a, PUCT side B at
+    # sims_b) must complete a full lockstep match with a coherent tally;
+    # with a neutral net and equal tiny budgets the match should not be
+    # one-sided.
+    from twixt_for_open_spiel_tpu.models import arena_match_asym
+
+    out = arena_match_asym(
+        params,
+        jax.random.PRNGKey(5),
+        net_apply=_uniform_net,
+        board_size=N,
+        batch=24,
+        sims_a=6,
+        sims_b=6,
+        temp_moves=2,
+    )
+    assert int(out["a_wins"]) + int(out["b_wins"]) + int(out["draws"]) == 24
+    assert int(out["moves"]) <= N * N - 3 + 1
+    score = float(out["a_score"])
+    assert 0.1 <= score <= 0.9, out
+
+
 def test_gumbel_search_finds_winning_move():
     # Same near-win position as the PUCT test.  With a NEUTRAL net the
     # Gumbel top-m draw is uniform over legal actions, so candidate
