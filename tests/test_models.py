@@ -42,6 +42,44 @@ def test_net_shapes(params):
     assert np.all(np.abs(np.asarray(value)) <= 1.0)
 
 
+def test_value_head_learns_and_does_not_saturate(params):
+    # Regression for the round-3 value-head collapse: with +-1 targets the
+    # bf16 tanh saturated (gradient exactly 0 in bf16) and froze the head
+    # at a constant.  The zero-init f32 head must (a) start at exactly 0,
+    # (b) fit a deterministic obs->sign function far below the
+    # variance floor, and (c) keep output variance alive.
+    import optax
+
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(0), 0.15, (256, geo.NUM_PLANES, N, N - 2)
+    ).astype(jnp.float32)
+    v0 = NET.apply(params, obs)[1]
+    assert np.all(np.asarray(v0) == 0.0), "zero-init head must start at 0"
+    # deterministic target: sign of a fixed linear probe of the obs
+    probe = jax.random.normal(jax.random.PRNGKey(1), obs.shape[1:])
+    target = jnp.where((obs * probe).sum((1, 2, 3)) > 0, 1.0, -1.0)
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-3))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss(p):
+            v = NET.apply(p, obs)[1]
+            return jnp.mean((v - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        up, state2 = opt.update(g, state, params)
+        return optax.apply_updates(params, up), state2, l
+
+    p = params
+    for _ in range(150):
+        p, state, l = step(p, state)
+    v = np.asarray(NET.apply(p, obs)[1])
+    assert float(l) < 0.5, f"value head failed to learn (mse={float(l)})"
+    assert v.std() > 0.2, "value outputs collapsed to a constant"
+
+
 def test_mcts_visits_only_legal(params):
     b = 4
     states = batch_reset(N, b)

@@ -64,12 +64,25 @@ class AZNet(nn.Module):
         logits = nn.Dense(self.board_size * self.board_size,
                           dtype=self.dtype)(p)
 
-        # value head
+        # value head.  The final layers run in f32 with a LayerNorm and a
+        # ZERO-initialised output kernel: outcome targets are almost always
+        # +-1, and without this the bf16 tanh saturates early in training
+        # (|pre-activation| > 8 makes 1 - tanh^2 EXACTLY 0 in bf16), after
+        # which the head is frozen at a constant +-1 forever — observed as
+        # value MSE ~1.9 with zero output variance while the policy head
+        # kept learning (round-3 training runs).  Zero-init starts the
+        # output at tanh's maximum-gradient point and the norm bounds the
+        # feature scale the kernel multiplies.
         v = nn.Conv(32, (1, 1), dtype=self.dtype)(x)
         v = nn.relu(nn.LayerNorm(dtype=self.dtype)(v))
         v = v.reshape((v.shape[0], -1))
         v = nn.relu(nn.Dense(256, dtype=self.dtype)(v))
-        value = jnp.tanh(nn.Dense(1, dtype=self.dtype)(v))[:, 0]
+        v = nn.LayerNorm(dtype=jnp.float32)(v.astype(jnp.float32))
+        value = jnp.tanh(
+            nn.Dense(
+                1, dtype=jnp.float32, kernel_init=nn.initializers.zeros
+            )(v)
+        )[:, 0]
 
         return logits.astype(jnp.float32), value.astype(jnp.float32)
 
