@@ -179,6 +179,7 @@ def _scenarios():
     ]
 
 
+@pytest.mark.parametrize("backup", ["amask", "walk"])
 @pytest.mark.parametrize(
     "sims,max_considered",
     [
@@ -188,7 +189,7 @@ def _scenarios():
         (7, 16),   # small budget, heavy clamp
     ],
 )
-def test_gumbel_matches_naive_reference(sims, max_considered):
+def test_gumbel_matches_naive_reference(sims, max_considered, backup):
     states, boards = [], []
     for moves, _name in _scenarios():
         s = reset(N)
@@ -217,6 +218,7 @@ def test_gumbel_matches_naive_reference(sims, max_considered):
         num_simulations=sims,
         max_considered=max_considered,
         gumbel_noise=jnp.asarray(gumbels),
+        backup=backup,
     )
     action = np.asarray(action)
     improved = np.asarray(improved)

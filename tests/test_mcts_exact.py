@@ -131,7 +131,7 @@ def _scenarios(n):
     ]
 
 
-def _run_case(n, sims, net_kind):
+def _run_case(n, sims, net_kind, backup="auto"):
     a_dim = n * n
     states, boards = [], []
     for moves, _name in _scenarios(n):
@@ -160,6 +160,7 @@ def _run_case(n, sims, net_kind):
         board_size=n,
         num_simulations=sims,
         dirichlet_frac=0.0,
+        backup=backup,
     )
     probs = np.asarray(probs)
     root_q = np.asarray(root_q)
@@ -180,11 +181,15 @@ def _run_case(n, sims, net_kind):
         )
 
 
+@pytest.mark.parametrize("backup", ["amask", "walk"])
 @pytest.mark.parametrize("sims", [8, 25])
-def test_search_matches_naive_reference(sims):
-    _run_case(5, sims, "uniform")
+def test_search_matches_naive_reference(sims, backup):
+    # BOTH backup variants (loop-free ancestor-mask and parent-chain walk)
+    # must be integer-exact against the same naive reference.
+    _run_case(5, sims, "uniform", backup=backup)
 
 
+@pytest.mark.parametrize("backup", ["amask", "walk"])
 @pytest.mark.parametrize(
     "n,sims",
     [
@@ -193,5 +198,5 @@ def test_search_matches_naive_reference(sims):
         (8, 24),
     ],
 )
-def test_search_matches_naive_reference_table_net(n, sims):
-    _run_case(n, sims, "table")
+def test_search_matches_naive_reference_table_net(n, sims, backup):
+    _run_case(n, sims, "table", backup=backup)

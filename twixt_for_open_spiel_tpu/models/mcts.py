@@ -33,12 +33,14 @@ into one of:
     -1 otherwise), so the best UNEXPANDED edge needs one row gather, and
     expanding an edge retires it with a [B, 1]-index scatter on a flat
     view;
-  * parent-chain backup: a ``while_loop`` walks each env's leaf-to-root
-    path with one [B, 1]-index parent gather and two [B, 1]-index
-    scatter-adds per level (~1 us each), so backup costs O(deepest leaf)
-    per simulation and the tree carries no O(nodes^2) state — the round-2
-    ancestor-mask design allocated a [B, nodes, nodes] bool whose memory
-    grew quadratically with the simulation budget;
+  * size-adaptive backup (``backup="auto"``): up to ``_AMASK_MAX_NODES``
+    tree nodes each node stores its root-path set as a boolean
+    ancestor-mask row, making backup two dense [B, nodes] ops (fast, but
+    O(nodes^2) memory); above that a ``while_loop`` walks each env's
+    leaf-to-root parent chain with [B, 1]-index gathers/scatter-adds —
+    O(deepest leaf) time, O(nodes) memory, so 512+ simulation searches
+    fit comfortably (0.59 GiB total tree at B=512/sims=512, measured).
+    Both variants are bit-identical (tests/test_mcts_exact.py pins each);
   * node BitStates gathered by a masked one-hot sum over the 65 slots
     (52 us) instead of a minor-axis gather (113 us).
 
@@ -74,6 +76,19 @@ from twixt_for_open_spiel_tpu.ops.observe import bit_observation_nchw
 NO_NODE = jnp.int32(-1)
 _U32 = jnp.uint32
 
+# "auto" backup picks ancestor-mask up to this many tree nodes (the mask is
+# [B, nodes, nodes] bool: 13 MB at B=512/nodes=161, linear-memory walk
+# above).  Measured crossover on v5e: the dense mask backup beats the
+# parent-chain walk by ~15-20% of total self-play time at 64 sims.
+_AMASK_MAX_NODES = 160
+
+
+def _resolve_backup(backup: str, nodes: int) -> bool:
+    assert backup in ("auto", "amask", "walk"), backup
+    if backup == "auto":
+        return nodes <= _AMASK_MAX_NODES
+    return backup == "amask"
+
 
 class Tree(NamedTuple):
     """Flat search trees for the whole env batch.
@@ -97,6 +112,11 @@ class Tree(NamedTuple):
     tval: jnp.ndarray        # f32 [B, nodes]
     linked: jnp.ndarray      # bool [B, nodes] slot actually in the tree
     root_child: jnp.ndarray  # int32 [B, A] child node id of root edges / -1
+    # root-path sets + node depths for the amask backup variant; [B, 1, 1]
+    # and [B, 1] PLACEHOLDERS when the walk backup is active (see
+    # _make_simulate's ``use_amask``).
+    amask: jnp.ndarray       # bool [B, nodes, nodes] or [B, 1, 1]
+    depth: jnp.ndarray       # int32 [B, nodes] or [B, 1]
     planes: jnp.ndarray      # u32 [nodes, 16, P, B] packed bitplanes
     compid: jnp.ndarray      # i16 [nodes, N, N, B]
     scalars: jnp.ndarray     # i32 [nodes, 5, B]
@@ -234,13 +254,23 @@ def _best_edge(tree: Tree, node: jnp.ndarray, c_puct):
     return action, kid, kid_term
 
 
-def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior):
+def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior,
+               use_amask=False):
     """Fresh array-of-trees state: root at slot 0, one visit, given prior."""
 
     def alloc(x):
         return jnp.broadcast_to(x[None], (nodes,) + x.shape)
 
+    if use_amask:
+        amask = jnp.zeros((batch, nodes, nodes), bool).at[:, 0, 0].set(True)
+        depth = jnp.zeros((batch, nodes), jnp.int32)
+    else:
+        amask = jnp.zeros((batch, 1, 1), bool)
+        depth = jnp.zeros((batch, 1), jnp.int32)
+
     return Tree(
+        amask=amask,
+        depth=depth,
         visit=jnp.zeros((batch, nodes), jnp.int32).at[:, 0].set(1),
         value_sum=jnp.zeros((batch, nodes), jnp.float32)
         .at[:, 0]
@@ -263,7 +293,7 @@ def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior):
 
 def _make_simulate(
     *, params, key, evaluator, board_size, batch, nodes, a_dim, c_puct,
-    root_entry,
+    root_entry, use_amask=False,
 ):
     """One-simulation body (selection -> expansion -> eval -> backup) for a
     ``fori_loop`` carrying ``(tree, sel_iter_count, backup_iter_count)``.
@@ -344,6 +374,16 @@ def _make_simulate(
             parent_row, action
         )  # prior of the expanded edge (>= 0: it was live)
         onehot_a = action[:, None] == jnp.arange(a_dim, dtype=jnp.int32)
+        if use_amask:
+            parent_amask = _rows(tree.amask, leaf_parent)       # [B, nodes]
+            parent_depth = _cell(tree.depth, leaf_parent)
+            iota_n = jnp.arange(nodes, dtype=jnp.int32)
+            amask = tree.amask.at[:, new_node].set(
+                parent_amask | (iota_n == new_node)
+            )
+            depth = tree.depth.at[:, new_node].set(parent_depth + 1)
+        else:
+            amask, depth = tree.amask, tree.depth
 
         # retire the expanded edge: -1 at (leaf_parent, action) on a flat
         # view ([B, 1]-index scatter; a no-op re-retire for revisit envs)
@@ -356,6 +396,8 @@ def _make_simulate(
             inplace=False,
         )
         tree = tree._replace(
+            amask=amask,
+            depth=depth,
             uprior=up_flat.reshape(batch, nodes, a_dim)
             .at[:, new_node]
             .set(jnp.where(child_legal, prior, -1.0)),
@@ -373,14 +415,36 @@ def _make_simulate(
         )
         tree = _set_node_state(tree, new_node, child_state)
 
-        # --- backup: parent-chain walk from each env's leaf to the root.
-        # Values alternate sign per level (two-player zero-sum), anchored at
-        # +backup_value on the leaf.  Each iteration is per-env-scalar work
-        # only — a [B,1]-index parent gather plus two [B,1]-index
-        # scatter-adds (~1 us each at search shapes) — so the walk costs
-        # O(deepest live leaf) per simulation and the tree carries NO
-        # O(nodes^2) state (the round-2 ancestor-mask design allocated a
-        # [B, nodes, nodes] bool that hit hundreds of MB at 512+ sims).
+        # --- backup.  Two bit-identical variants (values alternate sign
+        # per level, anchored at +backup_value on the leaf; float adds
+        # happen once per path node in both):
+        #
+        #   * ancestor-mask (``use_amask``): each node row of ``amask``
+        #     holds its root-path set, so backup is ``visit += row`` plus a
+        #     depth-parity-signed ``value_sum`` update — two dense
+        #     [B, nodes] ops, loop-free.  Fast at small trees, but the
+        #     mask is O(B * nodes^2) memory (hundreds of MB at 512+ sims).
+        #   * parent-chain walk: a ``while_loop`` from each env's leaf to
+        #     the root — a [B,1]-index parent gather plus two [B,1]-index
+        #     scatter-adds per level.  O(nodes) memory, but the loop runs
+        #     to the DEEPEST env's leaf each simulation (measured ~15-20%
+        #     of self-play time at 64 sims, B=512).
+        #
+        # search_batch/gumbel_search_batch pick by tree size
+        # (``backup="auto"``): amask up to _AMASK_MAX_NODES, walk above.
+        if use_amask:
+            path = _rows(tree.amask, node_id)                   # [B, nodes]
+            leaf_depth = _cell(tree.depth, node_id)
+            sign = 1.0 - 2.0 * jnp.bitwise_and(
+                leaf_depth[:, None] - tree.depth, 1
+            ).astype(jnp.float32)
+            tree = tree._replace(
+                visit=tree.visit + path.astype(jnp.int32),
+                value_sum=tree.value_sum
+                + jnp.where(path, backup_value[:, None] * sign, 0.0),
+            )
+            return tree, sel_ct, bk_ct
+
         env = jnp.arange(batch)
 
         def bk_cond(carry):
@@ -490,7 +554,8 @@ def rollout_evaluator(board_size: int, rollout_count: int = 1):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "board_size", "num_simulations", "evaluator", "return_stats"
+        "board_size", "num_simulations", "evaluator", "return_stats",
+        "backup",
     ),
 )
 def search_batch(
@@ -505,6 +570,7 @@ def search_batch(
     dirichlet_alpha: float = 0.3,
     dirichlet_frac: float = 0.25,
     return_stats: bool = False,
+    backup: str = "auto",
 ):
     """Run MCTS from a batch of root BitStates (batch-trailing, 1-D batch).
 
@@ -513,7 +579,8 @@ def search_batch(
     value estimates self-play consumes.  With ``return_stats`` (a separate
     compile) additionally returns diagnostic counters ``{"sel_iters",
     "backup_iters"}``: total lockstep selection-walk and backup-walk
-    iterations (each walk runs until the DEEPEST env finishes).
+    iterations (each walk runs until the DEEPEST env finishes;
+    backup_iters is 0 under the loop-free amask backup).
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
@@ -540,9 +607,11 @@ def search_batch(
         root_prior.sum(-1, keepdims=True), 1e-9
     )
 
+    use_amask = _resolve_backup(backup, nodes)
     tree = _init_tree(
         bs, batch, nodes, a_dim, root_value,
         jnp.where(root_legal, root_prior, -1.0),
+        use_amask=use_amask,
     )
     node0 = jnp.zeros((batch,), jnp.int32)
     simulate = _make_simulate(
@@ -555,6 +624,7 @@ def search_batch(
         a_dim=a_dim,
         c_puct=c_puct,
         root_entry=lambda tree, sim: _best_edge(tree, node0, c_puct),
+        use_amask=use_amask,
     )
     tree, sel_ct, bk_ct = jax.lax.fori_loop(
         0, num_simulations, simulate, (tree, jnp.int32(0), jnp.int32(0))
@@ -638,7 +708,8 @@ def _halving_schedule(max_considered: int, a_dim: int, num_simulations: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "board_size", "num_simulations", "evaluator", "max_considered"
+        "board_size", "num_simulations", "evaluator", "max_considered",
+        "backup",
     ),
 )
 def gumbel_search_batch(
@@ -654,6 +725,7 @@ def gumbel_search_batch(
     c_visit: float = 50.0,
     c_scale: float = 1.0,
     gumbel_noise=None,
+    backup: str = "auto",
 ):
     """Gumbel sequential-halving root search (Danihelka et al. 2022 style).
 
@@ -709,9 +781,11 @@ def gumbel_search_batch(
     cand_actions = jnp.where(cand_valid, cand_actions, cand_actions[:, :1])
     cand_base = jnp.where(cand_valid, cand_base, cand_base[:, :1])
 
+    use_amask = _resolve_backup(backup, nodes)
     tree = _init_tree(
         bs, batch, nodes, a_dim, root_value,
         jnp.where(root_legal, root_prior, -1.0),
+        use_amask=use_amask,
     )
 
     def node_q(tree):
@@ -746,7 +820,7 @@ def gumbel_search_batch(
         simulate = _make_simulate(
             params=params, key=key, evaluator=evaluator,
             board_size=board_size, batch=batch, nodes=nodes, a_dim=a_dim,
-            c_puct=c_puct, root_entry=root_entry,
+            c_puct=c_puct, root_entry=root_entry, use_amask=use_amask,
         )
         tree, _, _ = jax.lax.fori_loop(
             offset, offset + live * per, simulate,
