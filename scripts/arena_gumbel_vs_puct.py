@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--max_considered", type=int, default=16,
+                    help="Gumbel candidate count m")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
@@ -88,12 +90,14 @@ def main():
         batch=args.batch,
         sims_a=args.sims_a,
         sims_b=args.sims_b,
+        max_considered_a=args.max_considered,
     )
     tally = {k: float(np.asarray(v)) for k, v in tally.items()}
     tally.update(
         kind="gumbel_vs_puct",
         board_size=n,
         sims_gumbel=args.sims_a,
+        max_considered=args.max_considered,
         sims_puct=args.sims_b,
         secs=round(time.perf_counter() - t0, 1),
     )

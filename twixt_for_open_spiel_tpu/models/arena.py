@@ -182,6 +182,7 @@ def _tally(res, a_is_red, batch, moves):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "batch", "sims_a", "sims_b", "temp_moves",
+        "greedy_a", "max_considered_a",
     ),
 )
 def arena_match_asym(
@@ -195,6 +196,8 @@ def arena_match_asym(
     sims_b: int,
     temp_moves: int = 6,
     c_puct: float = 1.4,
+    greedy_a: bool = True,
+    max_considered_a: int = 16,
 ):
     """A-vs-B with the SAME net but different SEARCHES: side A plays Gumbel
     sequential halving at ``sims_a`` simulations, side B AlphaZero PUCT
@@ -208,8 +211,18 @@ def arena_match_asym(
     the full batch every move and the action is selected per env by whose
     turn it is — 2x search cost, one compile, no ragged control flow.
 
-    Openings are diversified by Gumbel noise on A's side and by
-    visit-distribution sampling for the first ``temp_moves`` plies on B's.
+    With ``greedy_a`` (default) side A ACTS with the argmax of the
+    IMPROVED policy (softmax(logits + sigma(completed Q))) — evaluation
+    mode per Danihelka et al. 2022, where the sampled Gumbels drive only
+    the in-search candidate selection.  ``greedy_a=False`` plays the
+    surviving candidate itself (the training-time act rule, whose move
+    carries the exploration noise — measured ~0.25 arena score even at
+    equal budgets, docs/PERF.md).
+
+    Openings are diversified by Gumbel noise on A's side (candidate
+    selection still shifts the improved policy through the tree it built)
+    and by visit-distribution sampling for the first ``temp_moves`` plies
+    on B's.
     """
     n = board_size
     a_is_red = (jnp.arange(batch, dtype=jnp.int32) % 2) == 0
@@ -236,11 +249,15 @@ def arena_match_asym(
         player = jnp.clip(safe.current_player, 0, 1)
         a_to_move = (player == 0) == a_is_red
 
-        act_a, _, _ = mcts.gumbel_search_batch(
+        cand_a, improved_a, _ = mcts.gumbel_search_batch(
             params, safe, k_g,
             evaluator=evaluator, board_size=n, num_simulations=sims_a,
-            c_puct=c_puct,
+            max_considered=max_considered_a, c_puct=c_puct,
         )
+        if greedy_a:
+            act_a = jnp.argmax(improved_a, axis=-1).astype(jnp.int32)
+        else:
+            act_a = cand_a
         probs, _ = mcts.search_batch(
             params, safe, k_p,
             evaluator=evaluator, board_size=n, num_simulations=sims_b,

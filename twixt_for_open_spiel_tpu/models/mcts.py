@@ -749,10 +749,17 @@ def gumbel_search_batch(
         value estimate);
       * ``root_value`` [B] — mean value of the root's visits.
 
-    TPU fit: at equal playing strength sequential halving needs ~2-4x fewer
-    simulations than PUCT+Dirichlet roots, and simulations are the only
-    SEQUENTIAL part of the batched search — everything inside one is a
-    full-batch tensor op.
+    TPU fit: simulations are the only SEQUENTIAL part of the batched
+    search — everything inside one is a full-batch tensor op — so budgets
+    that extract more strength per simulation matter.  The literature
+    reports Gumbel roots reaching equal TRAINING strength with far fewer
+    simulations (Danihelka et al. 2022).  Measured head-to-head on THIS
+    engine with a PUCT-trained net (scripts/arena_gumbel_vs_puct.py,
+    board 8, 256 games, docs/PERF.md): Gumbel does NOT reach PUCT's
+    playing strength at equal or lower budgets (arena score 0.21-0.28 vs
+    PUCT@64 for gumbel at 16/32/64 sims, any max_considered) — the claim
+    is about learning efficiency, not fixed-net match play, and this
+    framework's self-play default therefore remains PUCT.
     """
     a_dim = board_size * board_size
     nodes = num_simulations + 1
