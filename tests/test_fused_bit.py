@@ -73,3 +73,27 @@ def test_fused_bit_multi_tile_grid():
     sk = to_state(f_k, n)
     np.testing.assert_array_equal(np.asarray(sx.color), np.asarray(sk.color))
     assert np.asarray(sx.result).min() >= geo.RESULT_OPEN
+
+
+def test_fused_bit_emit_obs_matches_xla_packed():
+    # The fused kernel's per-step packed obs stream (emit_obs=True, the
+    # config-4 fast path) must be bit-identical to the XLA emission
+    # (bit_rollout_emit_obs packed=True) for the same seed, INCLUDING
+    # steps where auto-reset fired mid-chunk, and the final states must
+    # stay bit-equal.
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_rollout_emit_obs
+
+    n, b, tile, steps = 5, 256, 128, 30
+    bs0 = bit_reset(n, b)
+    f_k, s_k, obs_k = fused_bit_rollout(
+        9, n, steps, bs0, tile=tile, interpret=True, emit_obs=True
+    )
+    f_x, s_x, obs_x = bit_rollout_emit_obs(9, n, steps, bs0, packed=True)
+    assert int(s_x["episodes"]) == int(s_k["episodes"]) > 0
+    p = obs_k.shape[2]
+    ref = np.asarray(obs_x).reshape(steps, b, 12, p).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(np.asarray(obs_k), ref)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(f_x), jax.tree_util.tree_leaves(f_k)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -49,6 +49,7 @@ from twixt_for_open_spiel_tpu.ops.bitboard import (
     BitState,
     _hash_u32,
     _pack_bool,
+    expand_planes,
     step_bits,
 )
 from twixt_for_open_spiel_tpu.ops.state import board_consts, padded_size
@@ -166,15 +167,35 @@ def _bit_reset_leaves(board_size: int):
     )
 
 
+def _packed_obs_planes(bs: BitState):
+    """The 12 packed observation planes ([P, ...] u32 each), identical
+    bit-for-bit to ops/observe.bit_observation_packed_lanes (reference
+    plane semantics twixt.cc:76-132); Mosaic-safe (bitwise ops +
+    concat-shifts only)."""
+    any_link = bs.links[0]
+    for plane in expand_planes(bs.links)[1:]:
+        any_link = any_link | plane
+    blocked_e = bs.blocked[0] | bs.blocked[1] | bs.blocked[2] | bs.blocked[3]
+    planes = []
+    for is_color in (bs.red, bs.blue):
+        planes.append(is_color & ~any_link)
+        for d in range(4):
+            planes.append(is_color & bs.links[d])
+        planes.append(is_color & blocked_e)
+    return planes
+
+
 def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
-                 treedef):
+                 treedef, emit_obs: bool = False):
     tile = subl * lanes
+    p = padded_size(board_size)
 
     def kernel(seed_ref, *refs):
         in_refs = refs[:_NUM_LEAVES]
         out_refs = refs[_NUM_LEAVES : 2 * _NUM_LEAVES]
         episodes_ref = refs[2 * _NUM_LEAVES]
         results_ref = refs[2 * _NUM_LEAVES + 1]
+        obs_ref = refs[2 * _NUM_LEAVES + 2] if emit_obs else None
 
         prog = pl.program_id(0).astype(jnp.int32)
         seed = seed_ref[0, 0].astype(_U32)
@@ -192,6 +213,12 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
 
         def body(k, carry):
             bs, ep, r0, r1, r2, r3 = carry
+            if emit_obs:
+                # pre-move observation of every env, packed lane-major;
+                # rows [k*12P, (k+1)*12P) of the obs output block
+                planes = _packed_obs_planes(bs)
+                for j, plane in enumerate(planes):
+                    obs_ref[pl.ds(k * 12 * p + j * p, p)] = plane
             noise = _hash_u32(
                 seed + _U32(2654435761) * (k.astype(_U32) + _U32(1))
             ) + env * _U32(0x9E3779B9)
@@ -226,7 +253,8 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("board_size", "num_steps", "tile", "interpret"),
+    static_argnames=("board_size", "num_steps", "tile", "interpret",
+                     "emit_obs"),
 )
 def fused_bit_rollout(
     seed,
@@ -236,6 +264,7 @@ def fused_bit_rollout(
     *,
     tile: int = 1024,
     interpret: bool = False,
+    emit_obs: bool = False,
 ):
     """``num_steps`` lockstep random-policy steps fully inside one Pallas
     kernel per batch tile, on the bitboard engine.
@@ -244,6 +273,19 @@ def fused_bit_rollout(
     divisible by ``tile`` (a multiple of 128).  Returns (final_state, stats)
     with the same interface and BIT-IDENTICAL results to
     ``bitboard.bit_random_rollout(seed, board_size, num_steps, bs)``.
+
+    With ``emit_obs`` additionally returns the PRE-move packed observation
+    of every step — (final_state, stats, obs[T, 12, P, B] u32), the
+    lane-major wire format decoded by
+    ``ops.observe.unpack_observation_lanes_nchw`` and bit-equal to the
+    XLA emission path (``bitboard.bit_rollout_emit_obs(packed=True)``;
+    pinned by tests/test_fused_bit.py).  The per-step planes are written
+    straight from VMEM state, so HBM sees only the obs stream plus one
+    read+write of the state per launch — the config-4 learner feed
+    without the XLA path's per-step state re-read/re-write.  The obs
+    output block lives in VMEM for the whole kernel
+    (num_steps * 12 * P * tile * 4 bytes: keep num_steps * tile modest,
+    e.g. 16 steps x tile 1024 at board 24 = 23.6 MB).
     """
     batch = bs.current_player.shape[-1]
     assert bs.current_player.ndim == 1, "fused path expects 1-D env batch"
@@ -282,6 +324,15 @@ def fused_bit_rollout(
         ]
     )
     out_specs = state_specs + [ep_spec, res_spec]
+    if emit_obs:
+        p = padded_size(board_size)
+        rows = num_steps * 12 * p
+        out_shapes.append(
+            jax.ShapeDtypeStruct((rows, batch // lanes, lanes), jnp.uint32)
+        )
+        out_specs.append(
+            pl.BlockSpec((rows, subl, lanes), lambda i: (0, i, 0))
+        )
     aliases = {j + 1: j for j in range(_NUM_LEAVES)}
 
     kwargs = {}
@@ -290,7 +341,8 @@ def fused_bit_rollout(
             vmem_limit_bytes=100 * 1024 * 1024
         )
     outs = pl.pallas_call(
-        _make_kernel(board_size, num_steps, subl, lanes, treedef),
+        _make_kernel(board_size, num_steps, subl, lanes, treedef,
+                     emit_obs=emit_obs),
         grid=(grid,),
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0))] + state_specs,
         out_specs=out_specs,
@@ -307,4 +359,9 @@ def fused_bit_rollout(
     new_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     episodes = jnp.sum(outs[_NUM_LEAVES], dtype=jnp.int32)
     results = jnp.sum(outs[_NUM_LEAVES + 1], axis=(1, 2), dtype=jnp.int32)
-    return new_state, {"episodes": episodes, "results": results}
+    stats = {"episodes": episodes, "results": results}
+    if emit_obs:
+        p = padded_size(board_size)
+        obs = outs[_NUM_LEAVES + 2].reshape(num_steps, 12, p, batch)
+        return new_state, stats, obs
+    return new_state, stats
