@@ -43,7 +43,9 @@ def tree_bytes(board_size, batch, sims):
     nodes = sims + 1
     p = padded_size(board_size)
     per_node_b = 4 + 4 + 4 + 4 + 4 + 1 + 4 + 1  # visit..linked etc (B,nodes)
-    return (
+    from twixt_for_open_spiel_tpu.models import mcts as _mcts
+
+    total = (
         batch * nodes * a * 4          # uprior f32
         + batch * nodes * per_node_b   # per-node stats
         + batch * a * 4                # root_child
@@ -51,6 +53,9 @@ def tree_bytes(board_size, batch, sims):
         + nodes * p * p * batch * 2    # compid i16
         + nodes * 5 * batch * 4        # scalars
     )
+    if nodes <= _mcts._AMASK_MAX_NODES:  # auto backup allocates the amask
+        total += batch * nodes * nodes   # amask bool [B, nodes, nodes]
+    return total
 
 
 def main():

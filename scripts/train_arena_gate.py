@@ -19,9 +19,11 @@ Pass criteria (docs/PERF.md records the measured curve):
   trained-vs-init a_score >= 0.8 and trained-vs-random a_score >= 0.8
   over >= 256 games at fixed simulations.
 
-Usage (real chip):
-    python scripts/train_arena_gate.py --iterations=400 \
-        --checkpoint_dir=/tmp/twixt_az_gate
+Usage (real chip; the DEFAULTS reproduce the documented board-8 headline
+curve — docs/PERF.md "Training for real", run JSONL at
+docs/runs/train_gate_board8_seed0.jsonl):
+    python scripts/train_arena_gate.py \
+        --checkpoint_dir=/tmp/twixt_az_gate --log=/tmp/gate.jsonl
 Smoke (CPU, tiny): python scripts/train_arena_gate.py --smoke
 """
 
@@ -45,15 +47,16 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--chunk_steps", type=int, default=24)
     ap.add_argument("--simulations", type=int, default=64)
-    ap.add_argument("--iterations", type=int, default=400)
+    ap.add_argument("--iterations", type=int, default=1100)
     ap.add_argument("--temp_moves", type=int, default=12,
                     help="opening plies with temperature sampling; greedy after")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--arena_batch", type=int, default=256)
     ap.add_argument("--arena_sims", type=int, default=64)
-    ap.add_argument("--gates", default="25,50,100,200,300,400",
+    ap.add_argument("--gates",
+                    default="100,200,300,400,500,600,700,800,900,1000",
                     help="comma-separated iterations at which to arena-gate")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint_dir", default=None)

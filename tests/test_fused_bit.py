@@ -91,7 +91,13 @@ def test_fused_bit_emit_obs_matches_xla_packed():
     f_x, s_x, obs_x = bit_rollout_emit_obs(9, n, steps, bs0, packed=True)
     assert int(s_x["episodes"]) == int(s_k["episodes"]) > 0
     p = obs_k.shape[2]
-    ref = np.asarray(obs_x).reshape(steps, b, 12, p).transpose(0, 2, 3, 1)
+    # XLA wire = 12 obs planes + the mover's legal plane (the self-play
+    # Sample wire); the fused kernel emits the 12 obs planes
+    ref = (
+        np.asarray(obs_x)[..., : 12 * p]
+        .reshape(steps, b, 12, p)
+        .transpose(0, 2, 3, 1)
+    )
     np.testing.assert_array_equal(np.asarray(obs_k), ref)
     for a, b_ in zip(
         jax.tree_util.tree_leaves(f_x), jax.tree_util.tree_leaves(f_k)

@@ -185,7 +185,9 @@ def test_selfplay_chunk_and_train(params):
         num_steps=t,
         num_simulations=8,
     )
-    assert sample.obs.shape == (t, b, geo.NUM_PLANES * (N + 2 * geo.PAD))
+    assert sample.obs.shape == (
+        t, b, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
+    )
     assert sample.policy.shape == (t, b, N * N)
     assert sample.value.shape == (t, b)
     w = np.asarray(sample.weight)
@@ -207,6 +209,72 @@ def test_selfplay_chunk_and_train(params):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(leaves0, leaves1)
     )
+
+
+def test_policy_ce_gradient_covers_legal_set():
+    """Regression for the round-3 support-normalised CE (board-12
+    anti-learning): a LEGAL action with ZERO visit mass must still
+    receive gradient (it sits in the softmax denominator), while an
+    ILLEGAL action's logit must receive none."""
+    from twixt_for_open_spiel_tpu.models.selfplay import policy_ce
+
+    a = 6
+    legal = jnp.array([True, True, True, False, True, False])
+    # target concentrated on actions 0/1; actions 2 and 4 are legal with
+    # zero visits; 3 and 5 are illegal
+    target = jnp.array([0.75, 0.25, 0.0, 0.0, 0.0, 0.0])
+    logits = jnp.arange(a, dtype=jnp.float32) * 0.3
+
+    g = np.asarray(
+        jax.grad(lambda lg: policy_ce(lg, target, legal))(logits)
+    )
+    assert abs(g[2]) > 1e-6, "legal zero-visit action got no gradient"
+    assert abs(g[4]) > 1e-6, "legal zero-visit action got no gradient"
+    assert g[3] == 0.0 and g[5] == 0.0, "illegal actions must get none"
+    # the CE itself normalises over the legal set: uniform target over
+    # legal actions + uniform logits => loss == log(#legal)
+    tgt_u = jnp.where(legal, 1.0 / 4.0, 0.0)
+    ce = policy_ce(jnp.zeros(a), tgt_u, legal)
+    assert np.isclose(float(ce), np.log(4.0), atol=1e-6)
+
+
+def test_sample_legal_plane_matches_engine():
+    """The legal plane appended to Sample.obs must decode to exactly the
+    engine's legal mask for the mover at each emitted position."""
+    from twixt_for_open_spiel_tpu.models.selfplay import Sample  # noqa: F401
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        bit_legal_mask_flat,
+        bit_step_auto_reset,
+    )
+    from twixt_for_open_spiel_tpu.ops.observe import unpack_legal_words_flat
+
+    b, t = 3, 6
+    bs = bit_reset(N, b)
+    params = init_params(NET, jax.random.PRNGKey(11))
+    p_words = N + 2 * geo.PAD
+    _, sample = selfplay_chunk(
+        params,
+        bs,
+        jax.random.PRNGKey(12),
+        net_apply=NET.apply,
+        board_size=N,
+        num_steps=t,
+        num_simulations=4,
+    )
+    legal_dec = np.asarray(
+        unpack_legal_words_flat(sample.obs[..., 12 * p_words :], N)
+    )
+    # replay the same chunk stepwise: the policy target's support must lie
+    # inside the decoded legal mask, and the decoded mask must equal the
+    # engine's mask for the recorded mover (cross-check via policy>0)
+    pol = np.asarray(sample.policy)
+    assert np.all(legal_dec[pol > 0]), "target support outside legal plane"
+    # fresh roots: position 0's mask must equal the initial legal mask
+    ref0 = np.asarray(
+        jnp.moveaxis(bit_legal_mask_flat(bs, jnp.zeros(b, jnp.int32), N),
+                     0, -1)
+    )
+    np.testing.assert_array_equal(legal_dec[0], ref0)
 
 
 def test_selfplay_policy_targets_match_engine_legality():
@@ -372,7 +440,9 @@ def test_selfplay_chunk_gumbel(params):
         num_simulations=8,
         search="gumbel",
     )
-    assert sample.obs.shape == (3, 4, geo.NUM_PLANES * (N + 2 * geo.PAD))
+    assert sample.obs.shape == (
+        3, 4, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
+    )
     p = np.asarray(sample.policy)
     assert np.all(p >= 0)
     assert np.allclose(p.sum(-1), 1.0, atol=1e-4)

@@ -96,7 +96,7 @@ def arena_match(
     bs = bit_reset(n, batch)
     dummy = bit_reset(n, batch)
     evaluator = _dual_net_evaluator(net_apply, n)
-    max_moves = n * n - 3 + 1  # MaxGameLength (reference twixt.h:131)
+    max_moves = n * n - 3 + 1  # MaxGameLength + 1 safety bound (twixt.h:136-139)
 
     def cond(carry):
         bs, move, key = carry
@@ -229,7 +229,7 @@ def arena_match_asym(
     bs = bit_reset(n, batch)
     dummy = bit_reset(n, batch)
     evaluator = mcts.net_evaluator(net_apply, n)
-    max_moves = n * n - 3 + 1  # MaxGameLength (reference twixt.h:136-139)
+    max_moves = n * n - 3 + 1  # MaxGameLength + 1 safety bound (twixt.h:136-139)
 
     def cond(carry):
         bs, move, key = carry

@@ -65,7 +65,10 @@ class AZNet(nn.Module):
                           dtype=self.dtype)(p)
 
         # value head.  The final layers run in f32 with a LayerNorm and a
-        # ZERO-initialised output kernel: outcome targets are almost always
+        # ZERO-initialised output kernel (NOTE: this round-3 fix changed
+        # the checkpoint parameter tree — checkpoints saved before it do
+        # not restore, accepted because pre-fix checkpoints carry the
+        # saturated head anyway): outcome targets are almost always
         # +-1, and without this the bf16 tanh saturates early in training
         # (|pre-activation| > 8 makes 1 - tanh^2 EXACTLY 0 in bf16), after
         # which the head is frozen at a constant +-1 forever — observed as

@@ -31,6 +31,7 @@ from twixt_for_open_spiel_tpu.ops.bitboard import (
 )
 from twixt_for_open_spiel_tpu.ops.observe import (
     bit_observation_packed,
+    unpack_legal_words_flat,
     unpack_observation_nchw,
 )
 from twixt_for_open_spiel_tpu.models import mcts
@@ -39,17 +40,26 @@ from twixt_for_open_spiel_tpu.models import mcts
 class Sample(NamedTuple):
     """One training chunk, time-major [T, B, ...].
 
-    ``obs`` is stored in the PACKED observation encoding ([T, B, 12*P]
+    ``obs`` is stored in the PACKED observation encoding ([T, B, 13*P]
     u32 column words, ~1 bit/cell — ops/observe.bit_observation_packed
     with the trailing dims coalesced so the scan's per-step writes use
     all 128 lanes, see ops/bitboard.bit_rollout_emit_obs): 16-32x less
     HBM than the unpacked bf16 tensor, so the chunk buffer stays small at
-    large env batches.  The learner decodes it with
-    ``unpack_observation_nchw`` fused into its input transpose
-    (loss_fn); the encoding is pinned bit-exact (tests/test_bitboard.py).
+    large env batches.  The first 12*P words are the observation planes;
+    the last P words are the mover's LEGAL-action bitplane at that
+    position (one more packed plane), which the policy loss needs to
+    normalise its cross-entropy over the legal set rather than the visit
+    support (a zero-visit legal action must still receive gradient
+    through the softmax denominator — round-3's support-normalised CE
+    never penalised probability piled on unvisited legal moves, a
+    board-12 training bug).  The learner decodes the obs words with
+    ``unpack_observation_nchw`` fused into its input transpose and the
+    legal words with ``unpack_legal_words_flat`` (loss_fn); both
+    encodings are pinned bit-exact (tests/test_bitboard.py,
+    tests/test_models.py).
     """
 
-    obs: jnp.ndarray       # u32 [T, B, 12*P] packed observation planes
+    obs: jnp.ndarray       # u32 [T, B, 13*P] packed obs + legal planes
     policy: jnp.ndarray    # f32 [T, B, A] MCTS visit distribution
     value: jnp.ndarray     # f32 [T, B] outcome from mover's perspective
     weight: jnp.ndarray    # f32 [T, B] 0 for positions of unfinished games
@@ -98,8 +108,15 @@ def selfplay_chunk(
         bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
         pk = bit_observation_packed(bs, board_size)
-        obs = pk.reshape(pk.shape[0], -1)  # coalesce: dense lane writes
         player = jnp.clip(bs.current_player, 0, 1)
+        # append the mover's packed legal plane ([B, P] u32) to the wire:
+        # coalesced into one [B, 13*P] row so the scan write stays dense
+        legal_words = jnp.where(
+            player[None, :] == 0, bs.legal[0], bs.legal[1]
+        ).T  # [B, P]
+        obs = jnp.concatenate(
+            [pk.reshape(pk.shape[0], -1), legal_words], axis=-1
+        )
 
         if search == "gumbel":
             actions, probs, root_q = mcts.gumbel_search_batch(
@@ -196,21 +213,42 @@ def make_optimizer(
     )
 
 
+def policy_ce(logits, target, legal):
+    """Cross-entropy of the MCTS visit target vs softmax(logits) over the
+    LEGAL action set (softmax denominator = all legal actions, [..., A]).
+
+    Normalising over the target's support instead (round 3's
+    ``where(target > 0, logits, -inf)``) silently excluded every legal
+    zero-visit action from the denominator, so the net was never
+    penalised for piling probability onto unvisited legal moves — nearly
+    invisible at board 8 (64 sims / <=60 legal: targets are dense), but
+    at board 12 (64 sims / ~140 legal) most legal actions sit outside
+    the support of every target, and training anti-learned.  Pinned by
+    tests/test_models.py::test_policy_ce_gradient_covers_legal_set.
+    """
+    logp = jax.nn.log_softmax(
+        jnp.where(legal, logits, logits - 1e9), axis=-1
+    )
+    return -(target * logp).sum(-1)
+
+
 def loss_fn(params, net_apply, sample: Sample):
     t, b = sample.obs.shape[:2]
     a_dim = sample.policy.shape[-1]
     n = int(round(a_dim ** 0.5))  # action space is board_size**2
+    p_words = sample.obs.shape[-1] // 13
+    obs_words = sample.obs[..., : 12 * p_words]
+    legal = unpack_legal_words_flat(
+        sample.obs[..., 12 * p_words :], n
+    )  # [T, B, A] bool
     obs = unpack_observation_nchw(
-        sample.obs.reshape(t * b, 12, sample.obs.shape[-1] // 12), n
+        obs_words.reshape(t * b, 12, p_words), n
     )
     logits, value = net_apply(params, obs)
     logits = logits.reshape(t, b, -1)
     value = value.reshape(t, b)
 
-    logp = jax.nn.log_softmax(
-        jnp.where(sample.policy > 0, logits, logits - 1e9), axis=-1
-    )
-    pol_loss = -(sample.policy * logp).sum(-1)
+    pol_loss = policy_ce(logits, sample.policy, legal)
     val_loss = (value - sample.value) ** 2
     w = sample.weight
     denom = jnp.maximum(w.sum(), 1.0)

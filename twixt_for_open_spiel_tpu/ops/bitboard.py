@@ -639,11 +639,15 @@ def bit_rollout_emit_obs(
     carry a 1-D trailing env batch.
 
     With ``packed=True`` the emitted tensor is the exact-but-compressed
-    packed encoding instead — [T, B, 12*P] u32 column words (~1 bit/cell,
-    16-32x fewer HBM bytes than bf16), decoded by the learner with
-    ``obs.reshape(T, B, 12, P)`` + ``ops.observe.unpack_observation_nchw``
-    fused into its input transpose.  The encoding is pinned bit-equal to
-    the bf16 tensor (tests/test_bitboard.py).  The trailing dims are
+    packed encoding instead — [T, B, 13*P] u32 column words (~1 bit/cell,
+    16-32x fewer HBM bytes than bf16): 12 observation planes plus the
+    mover's legal plane, the full self-play wire
+    (models/selfplay.Sample).  The learner decodes the obs words with
+    ``obs[..., :12*P].reshape(T, B, 12, P)`` +
+    ``ops.observe.unpack_observation_nchw`` fused into its input
+    transpose and the legal words with
+    ``ops.observe.unpack_legal_words_flat``.  The encoding is pinned
+    bit-equal to the bf16 tensor (tests/test_bitboard.py).  The trailing dims are
     COALESCED into one: measured on v5e at the config-4 shape, the 3-D
     [B, 12, P] form leaves only P of 128 lanes live in the scan's per-step
     output writes (~14M env-steps/s) while the coalesced form writes
@@ -662,7 +666,16 @@ def bit_rollout_emit_obs(
         bs, episodes = carry
         if packed:
             pk = bit_observation_packed(bs, board_size)
-            obs = pk.reshape(pk.shape[0], -1)
+            # append the mover's packed legal plane: the full self-play
+            # wire (models/selfplay.Sample) is 13 planes — 12 obs + the
+            # legal mask the policy loss normalises over
+            player = jnp.clip(bs.current_player, 0, 1)
+            legal_words = jnp.where(
+                player[None, :] == 0, bs.legal[0], bs.legal[1]
+            ).T  # [B, P]
+            obs = jnp.concatenate(
+                [pk.reshape(pk.shape[0], -1), legal_words], axis=-1
+            )
         else:
             obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
         noise = _hash_u32(

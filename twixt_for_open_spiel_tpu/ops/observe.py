@@ -154,6 +154,10 @@ def bit_observation_packed_lanes(bs, board_size: int) -> jnp.ndarray:
     :func:`unpack_observation_nchw` (or use
     :func:`unpack_observation_lanes_nchw`).  Plane semantics match the
     reference's tensor emission exactly (twixt.cc:76-132).
+
+    NOTE: ops/fused_bit_rollout._packed_obs_planes emits the same 12
+    planes inside the Pallas kernel; keep the two in sync (the pair is
+    pinned bit-equal by tests/test_fused_bit.py).
     """
     from twixt_for_open_spiel_tpu.ops.bitboard import expand_planes
 
@@ -238,6 +242,27 @@ def unpack_observation_nchw(pk, board_size: int, dtype=jnp.float32):
     blue_obs = (words_b[:, :, :, None] >> shifts_b) & one   # [B, 6, n, n-2]
     out = jnp.concatenate([red_obs, blue_obs], axis=1).astype(dtype)
     return out.reshape(lead + out.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def unpack_legal_words_flat(words: jnp.ndarray, board_size: int):
+    """Decode a packed legal bitplane ([..., P] u32 column words, the
+    batch-leading transpose of BitState.legal[player]) to the flat legal
+    mask over the ``size*size`` action space: bool [..., n*n], ascending
+    action order (a = x*n + y — the same order as
+    ops/bitboard.bit_legal_mask_flat, whose lane-major output this is
+    pinned against in tests/test_models.py).
+
+    The learner-side decode of the legal plane models/selfplay.Sample
+    appends to its obs wire (the policy loss normalises its CE over the
+    legal set, not the visit support).
+    """
+    n = board_size
+    pad = geo.PAD
+    core = words[..., pad : pad + n]  # [..., n]
+    ys = jnp.arange(pad, pad + n, dtype=jnp.uint32)
+    bits = ((core[..., None] >> ys) & jnp.uint32(1)) != 0  # [..., n, n]
+    return bits.reshape(bits.shape[:-2] + (n * n,))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
