@@ -250,13 +250,22 @@ def loss_fn(params, net_apply, sample: Sample):
 
     pol_loss = policy_ce(logits, sample.policy, legal)
     val_loss = (value - sample.value) ** 2
+    # The VALUE target needs the episode's terminal outcome, so it is
+    # weighted by ``sample.weight`` (0 for positions whose episode never
+    # finished inside the chunk).  The POLICY target — the MCTS visit
+    # distribution — is valid on-policy data regardless of the outcome,
+    # so EVERY frame trains the policy head.  (Round 3 weighted both by
+    # ``weight``, discarding ~3/4 of the search compute's policy signal
+    # at board 12 / chunk 32, where most episodes span chunks.)
     w = sample.weight
-    denom = jnp.maximum(w.sum(), 1.0)
-    loss = ((pol_loss + val_loss) * w).sum() / denom
+    val_denom = jnp.maximum(w.sum(), 1.0)
+    pol_mean = pol_loss.mean()
+    val_mean = (val_loss * w).sum() / val_denom
+    loss = pol_mean + val_mean
     return loss, {
         "loss": loss,
-        "policy_loss": (pol_loss * w).sum() / denom,
-        "value_loss": (val_loss * w).sum() / denom,
+        "policy_loss": pol_mean,
+        "value_loss": val_mean,
         "train_frames": w.sum(),
     }
 

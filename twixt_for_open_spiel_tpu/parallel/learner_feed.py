@@ -56,16 +56,17 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, net_apply, sample
         )
-        # weighted average over shards: each shard's loss/grads are already
-        # normalised by its local frame count, so weight by frames.
+        # equal-weight average over shards: every shard normalises its
+        # policy term over the same local T x B frame count, and its value
+        # term over its own finished-episode frames (loss_fn), so the
+        # plain data-parallel pmean is the right combination.
         frames = metrics["train_frames"]
         total = jax.lax.psum(frames, ENV_AXIS)
-        w = frames / jnp.maximum(total, 1.0)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g * w, ENV_AXIS), grads
+            lambda g: jax.lax.pmean(g, ENV_AXIS), grads
         )
         metrics = jax.tree_util.tree_map(
-            lambda m: jax.lax.psum(m * w, ENV_AXIS), metrics
+            lambda m: jax.lax.pmean(m, ENV_AXIS), metrics
         )
         metrics["train_frames"] = total
         updates, opt_state = optimizer.update(grads, opt_state, params)
