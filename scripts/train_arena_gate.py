@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--iterations", type=int, default=1100)
     ap.add_argument("--temp_moves", type=int, default=12,
                     help="opening plies with temperature sampling; greedy after")
+    ap.add_argument("--search", default="puct",
+                    choices=["puct", "puct_reuse", "gumbel"],
+                    help="self-play move generator (models/selfplay)")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -96,7 +99,7 @@ def main():
         f"[train] backend={jax.default_backend()} n={n} batch={args.batch} "
         f"chunk={args.chunk_steps} sims={args.simulations} "
         f"net={args.channels}x{args.blocks} iters={args.iterations} "
-        f"gates={gates}",
+        f"search={args.search} gates={gates}",
         file=sys.stderr,
     )
     logf = open(args.log, "a") if args.log else None
@@ -156,6 +159,7 @@ def main():
             num_steps=args.chunk_steps,
             num_simulations=args.simulations,
             temp_moves=args.temp_moves,
+            search=args.search,
         )
         params, opt_state, metrics = train_step(
             params, opt_state, sample, net_apply=net.apply, optimizer=opt

@@ -94,6 +94,7 @@ class NaiveTree:
         root.visit = 1
         root.vsum = self.root_value
         self.root = root
+        self.created = [root]  # creation order (slot order in the batch)
 
     def best_edge(self, node):
         """(action, kid_or_None, kid_term) with the search's tie rules."""
@@ -169,6 +170,7 @@ class NaiveTree:
                 )
                 value = F(v)
             node.kids[a_star] = leaf
+            self.created.append(leaf)
 
         v, p = value, leaf
         while p is not None:
@@ -176,6 +178,62 @@ class NaiveTree:
             p.vsum = np.float32(p.vsum + v)
             v = F(-v)
             p = p.parent
+
+    def reroot(self, action, cap, noise=None, frac=0.0):
+        """Re-root on the played action (models/mcts.search_batch_reuse's
+        rule).  Returns True when the subtree was kept; False means the
+        caller must cold-start a fresh tree (no child for the action, a
+        terminal child, or more than ``cap`` surviving nodes).
+
+        The new root's prior is re-mixed with the SAME formula a fresh
+        root gets: assemble the full prior vector (unexpanded edges from
+        the node's prior, expanded edges from their stored edge priors),
+        mix ``(1-frac)*p + frac*noise`` over legal, renormalise (via jnp
+        on CPU: the f32 ops must mirror the batched program bit-for-bit),
+        and write the result back to both the prior row and the root
+        children's edge priors.
+        """
+        import jax.numpy as jnp
+
+        kid = self.root.kids.get(int(action))
+        if kid is None or kid.term:
+            return False
+        subtree = set()
+        stack = [kid]
+        while stack:
+            n = stack.pop()
+            subtree.add(id(n))
+            stack.extend(n.kids.values())
+        if len(subtree) > cap:
+            return False
+
+        p_full = np.zeros(self.a_dim, np.float32)
+        for a in range(self.a_dim):
+            if a in kid.kids:
+                p_full[a] = kid.kids[a].eprior
+            elif kid.legal[a]:
+                p_full[a] = kid.prior[a]
+        if noise is None:
+            noise = np.zeros(self.a_dim, np.float32)
+        legal = jnp.asarray(kid.legal)
+        mixed = jnp.where(
+            legal,
+            (F(1.0) - F(frac)) * jnp.asarray(p_full)
+            + F(frac) * jnp.asarray(noise, jnp.float32),
+            F(0.0),
+        )
+        renorm = np.asarray(
+            mixed / jnp.maximum(mixed.sum(), F(1e-9))
+        ).astype(np.float32)
+        kid.prior = renorm
+        for c in kid.kids.values():
+            c.eprior = renorm[c.pa]
+        kid.parent = None
+        self.root = kid
+        self.created = [kid] + [
+            n for n in self.created if id(n) in subtree and n is not kid
+        ]
+        return True
 
     def root_visits(self):
         visits = np.zeros(self.a_dim, np.int64)

@@ -301,6 +301,38 @@ def test_selfplay_policy_targets_match_engine_legality():
     assert np.all(mc >= 0)  # auto-reset may have wrapped; just well-formed
 
 
+def test_selfplay_chunk_reuse(params):
+    # puct_reuse: the tree-reuse move generator must emit a well-formed
+    # chunk (targets sum to 1 over legal support, value targets bounded)
+    # and its chunk must train.  Exact reuse semantics are pinned in
+    # tests/test_reuse_exact.py.
+    b, t = 4, 10
+    bs = bit_reset(N, b)
+    final, sample = selfplay_chunk(
+        params,
+        bs,
+        jax.random.PRNGKey(21),
+        net_apply=NET.apply,
+        board_size=N,
+        num_steps=t,
+        num_simulations=8,
+        search="puct_reuse",
+    )
+    assert sample.obs.shape == (
+        t, b, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
+    )
+    pol = np.asarray(sample.policy)
+    assert np.allclose(pol.sum(-1), 1.0, atol=1e-5)
+    w = np.asarray(sample.weight)
+    v = np.asarray(sample.value)
+    assert np.all(np.abs(v[w > 0]) <= 1.0)
+    opt = make_optimizer(1e-3)
+    p2, _, m = train_step(
+        params, opt.init(params), sample, net_apply=NET.apply, optimizer=opt
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_arena_mcts_beats_random(params):
     # Strength sanity for the batched arena: a 16-sim search with a
     # constant-evaluation net must dominate a uniform-random opponent on
@@ -341,6 +373,29 @@ def test_arena_self_match_is_balanced(params):
     )
     score = float(out["a_score"])
     assert 0.15 <= score <= 0.85, out
+
+
+def test_arena_reuse_vs_cold_runs(params):
+    # reuse_a: side A searches with tree reuse, B cold-starts; the match
+    # must complete with a coherent tally and stay roughly balanced with
+    # a neutral net at tiny budgets (reuse semantics pinned in
+    # tests/test_reuse_exact.py).
+    from twixt_for_open_spiel_tpu.models import arena_match
+
+    out = arena_match(
+        params,
+        params,
+        jax.random.PRNGKey(6),
+        net_apply=_uniform_net,
+        board_size=N,
+        batch=24,
+        num_simulations=8,
+        temp_moves=2,
+        reuse_a=True,
+    )
+    assert int(out["a_wins"]) + int(out["b_wins"]) + int(out["draws"]) == 24
+    score = float(out["a_score"])
+    assert 0.1 <= score <= 0.9, out
 
 
 def test_arena_asym_gumbel_vs_puct_runs(params):

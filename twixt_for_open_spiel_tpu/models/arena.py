@@ -62,7 +62,7 @@ def _dual_net_evaluator(net_apply, board_size: int):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "batch", "num_simulations", "temp_moves",
-        "random_b",
+        "random_b", "reuse_a",
     ),
 )
 def arena_match(
@@ -77,6 +77,7 @@ def arena_match(
     temp_moves: int = 6,
     c_puct: float = 1.4,
     random_b: bool = False,
+    reuse_a: bool = False,
 ):
     """Play ``batch`` lockstep games of A vs B; returns the tally.
 
@@ -88,6 +89,14 @@ def arena_match(
     With ``random_b`` side B ignores the search and plays uniform random
     legal moves (the baseline OpenSpiel's random bot provides).
 
+    With ``reuse_a`` side A searches with TREE REUSE
+    (mcts.search_batch_reuse) while side B cold-starts every move — the
+    strength-at-equal-simulations experiment for reuse: the game's search
+    tree is carried across plies and re-rooted on each played action, but
+    only A's moves are allowed to inherit the surviving subtree (B's
+    moves force a cold root), so both sides spend the same per-move
+    budget and differ only in reuse.
+
     Returns ``{"a_wins", "b_wins", "draws", "games", "a_score"}`` —
     ``a_score`` is the match score with draws counting half.
     """
@@ -97,13 +106,18 @@ def arena_match(
     dummy = bit_reset(n, batch)
     evaluator = _dual_net_evaluator(net_apply, n)
     max_moves = n * n - 3 + 1  # MaxGameLength + 1 safety bound (twixt.h:136-139)
+    tree0 = (
+        mcts.init_reuse_tree(bs, board_size=n, num_simulations=num_simulations)
+        if reuse_a
+        else jnp.zeros((batch,), jnp.int32)  # placeholder carry leaf
+    )
 
     def cond(carry):
-        bs, move, key = carry
+        bs, move, key, tree, played = carry
         return jnp.any(bs.result == geo.RESULT_OPEN) & (move < max_moves)
 
     def body(carry):
-        bs, move, key = carry
+        bs, move, key, tree, played = carry
         key, k_search, k_act, k_rand = jax.random.split(key, 4)
         open_ = bs.result == geo.RESULT_OPEN
         safe = jax.tree_util.tree_map(
@@ -113,17 +127,33 @@ def arena_match(
             bs,
             dummy,
         )
-        probs, _ = mcts.search_batch(
-            (params_a, params_b, a_is_red),
-            safe,
-            k_search,
-            evaluator=evaluator,
-            board_size=n,
-            num_simulations=num_simulations,
-            c_puct=c_puct,
-            dirichlet_frac=0.0,
-        )
         player = jnp.clip(safe.current_player, 0, 1)
+        if reuse_a:
+            a_to_move = (player == 0) == a_is_red
+            probs, _, tree = mcts.search_batch_reuse(
+                (params_a, params_b, a_is_red),
+                safe,
+                k_search,
+                tree,
+                played,
+                ~(a_to_move & open_),  # only A's moves may inherit
+                evaluator=evaluator,
+                board_size=n,
+                num_simulations=num_simulations,
+                c_puct=c_puct,
+                dirichlet_frac=0.0,
+            )
+        else:
+            probs, _ = mcts.search_batch(
+                (params_a, params_b, a_is_red),
+                safe,
+                k_search,
+                evaluator=evaluator,
+                board_size=n,
+                num_simulations=num_simulations,
+                c_puct=c_puct,
+                dirichlet_frac=0.0,
+            )
         legal = jnp.moveaxis(bit_legal_mask_flat(safe, player, n), 0, -1)
         logits = jnp.where(legal, jnp.log(jnp.maximum(probs, 1e-9)), -jnp.inf)
         sampled = jax.random.categorical(k_act, logits, axis=-1).astype(
@@ -148,10 +178,11 @@ def arena_match(
             nxt,
             bs,
         )
-        return bs, move + 1, key
+        return bs, move + 1, key, tree, action
 
-    bs, moves, _ = jax.lax.while_loop(
-        cond, body, (bs, jnp.int32(0), key)
+    bs, moves, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (bs, jnp.int32(0), key, tree0, jnp.full((batch,), -1, jnp.int32)),
     )
 
     return _tally(bs.result, a_is_red, batch, moves)

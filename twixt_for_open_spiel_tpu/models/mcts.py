@@ -293,7 +293,7 @@ def _init_tree(bs, batch, nodes, a_dim, root_value, root_uprior,
 
 def _make_simulate(
     *, params, key, evaluator, board_size, batch, nodes, a_dim, c_puct,
-    root_entry, use_amask=False,
+    root_entry, use_amask=False, fresh_base=1,
 ):
     """One-simulation body (selection -> expansion -> eval -> backup) for a
     ``fori_loop`` carrying ``(tree, sel_iter_count, backup_iter_count)``.
@@ -304,10 +304,16 @@ def _make_simulate(
     sequential halving (:func:`gumbel_search_batch`).  Everything below the
     root is shared: lockstep PUCT walk, one batched engine step, one
     batched evaluator call, ancestor-mask backup.
+
+    ``fresh_base``: slot index of simulation 0's expansion (slots are
+    allocated uniformly across the batch at ``fresh_base + sim``).  1 for
+    a cold tree (root at 0); ``reuse_cap`` for a re-rooted tree whose
+    surviving subtree occupies slots [0, reuse_cap)
+    (:func:`search_batch_reuse`).
     """
     def simulate(sim, carry):
         tree, sel_ct, bk_ct = carry
-        new_node = sim + 1  # next free slot (uniform across the batch)
+        new_node = fresh_base + sim  # next free slot (uniform over envs)
 
         # --- selection: all envs walk down in lockstep until each env's
         # best edge is unexpanded or leads to a terminal child
@@ -897,6 +903,325 @@ def gumbel_search_batch(
         tree.visit[:, 0], 1
     ).astype(jnp.float32)
     return action, improved, root_q
+
+
+def reuse_nodes(num_simulations: int, reuse_cap: int | None = None) -> int:
+    """Slot count of a reuse-capable tree: ``reuse_cap`` survivor slots
+    (new root at 0) + one fresh slot per simulation."""
+    cap = num_simulations + 1 if reuse_cap is None else reuse_cap
+    return cap + num_simulations
+
+
+def init_reuse_tree(
+    bs: BitState, *, board_size: int, num_simulations: int,
+    reuse_cap: int | None = None, backup: str = "auto",
+) -> Tree:
+    """Empty tree of the reuse layout (everything unlinked, root_child all
+    -1): the scan-carry seed for :func:`search_batch_reuse` — its first
+    call sees no reusable child anywhere and cold-starts every env."""
+    cap = num_simulations + 1 if reuse_cap is None else reuse_cap
+    nodes = cap + num_simulations
+    a_dim = board_size * board_size
+    batch = bs.current_player.shape[-1]
+    tree = _init_tree(
+        bs, batch, nodes, a_dim,
+        jnp.zeros((batch,), jnp.float32),
+        jnp.full((batch, a_dim), -1.0, jnp.float32),
+        use_amask=_resolve_backup(backup, nodes),
+    )
+    return tree._replace(
+        visit=jnp.zeros_like(tree.visit),
+        linked=jnp.zeros_like(tree.linked),
+    )
+
+
+def _descendant_mask(tree: Tree, kid, nodes: int, use_amask: bool):
+    """bool [B, nodes]: linked nodes whose root path passes through (or
+    is) ``kid`` — the surviving subtree of a re-root on ``kid``.
+
+    amask variant: one [B, 1]-per-env column gather of the stored
+    root-path sets.  walk variant: pointer doubling over the parent
+    array — ceil(log2(nodes)) rounds of [B, nodes]-index gathers.
+    """
+    if use_amask:
+        col = jnp.take_along_axis(
+            tree.amask, jnp.maximum(kid, 0)[:, None, None], axis=2
+        )[:, :, 0]
+        return col & tree.linked
+    iota = jnp.arange(nodes, dtype=jnp.int32)
+    reach = iota[None, :] == kid[:, None]
+    ptr = tree.parent
+    hops = max(1, (nodes - 1).bit_length())
+    for _ in range(hops):
+        hop = jnp.take_along_axis(reach, jnp.maximum(ptr, 0), axis=1)
+        reach = reach | (hop & (ptr >= 0))
+        ptr = jnp.where(
+            ptr >= 0,
+            jnp.take_along_axis(ptr, jnp.maximum(ptr, 0), axis=1),
+            NO_NODE,
+        )
+    return reach & tree.linked
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "board_size", "num_simulations", "evaluator", "backup", "reuse_cap",
+        "return_stats",
+    ),
+)
+def search_batch_reuse(
+    params,
+    bs: BitState,
+    key,
+    tree: Tree,
+    played,
+    was_done,
+    *,
+    evaluator,
+    board_size: int,
+    num_simulations: int,
+    reuse_cap: int | None = None,
+    c_puct: float = 1.4,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_frac: float = 0.25,
+    backup: str = "auto",
+    return_stats: bool = False,
+):
+    """MCTS with TREE REUSE across moves: re-root the previous search's
+    array-of-trees on the action each env just played, keep the surviving
+    subtree's nodes/visits/values/priors, and spend the new simulation
+    budget on top.  Returns ``(visit_probs [B, A], root_q [B], tree)`` —
+    feed the returned tree (plus the action you then play and the env's
+    auto-reset ``done`` flag) into the next call.
+
+    The reference's ecosystem bot reuses nothing between moves (its README
+    drives OpenSpiel's cold-start ``mcts_example``, reference
+    README.md:36-42); at TPU batch scale the subtree under the played
+    action — typically a third to a half of the tree — is the largest
+    free strength-per-FLOP win available, so this framework makes reuse a
+    first-class search mode.
+
+    TPU-native re-rooting (everything fixed-shape, nothing reallocates):
+
+      * slots [0, reuse_cap) hold the SURVIVORS, compacted per env — the
+        played child at slot 0, the rest in creation order; fresh
+        expansions go to uniform slots ``reuse_cap + sim``
+        (``_make_simulate(fresh_base=reuse_cap)``), so the per-sim DUS
+        writes stay uniform across the batch;
+      * the surviving set is read from the ancestor-mask column of the
+        played child (amask backup) or by parent-pointer doubling (walk
+        backup) — :func:`_descendant_mask`;
+      * the per-env compaction permutation is applied with
+        ``take_along_axis`` row gathers on the [B, nodes] stat arrays and
+        node-axis gathers on the stacked state buffers — a per-MOVE cost,
+        amortised over the whole simulation budget;
+      * an env falls back to a cold root (exactly :func:`search_batch`'s
+        init) when its played action has no child in the tree, the env
+        auto-reset (``was_done``), or the subtree exceeds ``reuse_cap``
+        nodes — branch-free per-env selects, pinned deterministic;
+      * the new root's prior is RE-NOISED with the same
+        ``(1-frac)*p + frac*dirichlet`` mix and renormalisation a fresh
+        root gets (exploration must not decay across reused moves): the
+        assembled prior vector takes unexpanded edges from the root's
+        masked-prior row and expanded edges from their stored edge
+        priors, and the mixed result is written back to both.
+
+    Exactness: pinned integer-equal against tests/naive_mcts.py's
+    pointer-walking implementation of the SAME reuse rule over multi-move
+    sequences (tests/test_reuse_exact.py), for both backup variants.
+
+    ``reuse_cap`` defaults to ``num_simulations + 1`` (the whole previous
+    budget can survive); the tree then has ``2*num_simulations + 1``
+    slots, so the default stays under the amask backup's size threshold
+    at 64 sims.
+    """
+    a_dim = board_size * board_size
+    cap = num_simulations + 1 if reuse_cap is None else reuse_cap
+    nodes = cap + num_simulations
+    batch = bs.current_player.shape[-1]
+    assert bs.current_player.ndim == 1
+    assert tree.visit.shape == (batch, nodes), (
+        "tree layout mismatch: build the carry with init_reuse_tree using "
+        "the same num_simulations/reuse_cap statics"
+    )
+    use_amask = _resolve_backup(backup, nodes)
+    key, k_root, k_noise = jax.random.split(key, 3)
+    root_player = jnp.clip(bs.current_player, 0, 1)
+    root_legal = jnp.moveaxis(
+        bit_legal_mask_flat(bs, root_player, board_size), 0, -1
+    )  # [B, A]
+    root_logits, root_value = evaluator(params, bs, k_root)
+    noise = jax.random.dirichlet(
+        k_noise, jnp.full((a_dim,), dirichlet_alpha), shape=(batch,)
+    )
+
+    def mix_prior(p):
+        mixed = jnp.where(
+            root_legal, (1 - dirichlet_frac) * p + dirichlet_frac * noise,
+            0.0,
+        )
+        return mixed / jnp.maximum(mixed.sum(-1, keepdims=True), 1e-9)
+
+    # fresh-root init (identical to search_batch's)
+    fresh_prior = mix_prior(
+        jax.nn.softmax(jnp.where(root_legal, root_logits, -1e9), axis=-1)
+    )
+    fresh = _init_tree(
+        bs, batch, nodes, a_dim, root_value,
+        jnp.where(root_legal, fresh_prior, -1.0),
+        use_amask=use_amask,
+    )
+
+    # --- which envs can re-root?
+    iota = jnp.arange(nodes, dtype=jnp.int32)
+    kid = jnp.take_along_axis(
+        tree.root_child, jnp.clip(played, 0, a_dim - 1)[:, None], axis=1
+    )[:, 0]
+    desc = _descendant_mask(tree, kid, nodes, use_amask)
+    k_cnt = desc.sum(-1).astype(jnp.int32)
+    kid_ok = (kid >= 0) & ~_cell(tree.terminal, jnp.maximum(kid, 0))
+    reuse = (~was_done) & (played >= 0) & kid_ok & (k_cnt <= cap)
+    desc = desc & reuse[:, None]
+
+    # --- compaction permutation: kid -> 0, other survivors in slot order
+    not_kid = desc & (iota[None, :] != kid[:, None])
+    new_id = jnp.where(
+        iota[None, :] == kid[:, None], 0,
+        jnp.cumsum(not_kid.astype(jnp.int32), axis=1),
+    )
+    tgt = jnp.where(desc, new_id, nodes)  # dump column for non-survivors
+    oon = jnp.put_along_axis(
+        jnp.zeros((batch, nodes + 1), jnp.int32),
+        tgt, jnp.broadcast_to(iota[None, :], (batch, nodes)),
+        axis=1, inplace=False,
+    )[:, :nodes]  # old_of_new: old slot feeding each new slot
+    valid = (iota[None, :] < k_cnt[:, None]) & reuse[:, None]
+
+    def g(arr):  # [B, nodes] permute
+        return jnp.take_along_axis(arr, oon, axis=1)
+
+    visit_p = jnp.where(valid, g(tree.visit), 0)
+    vsum_p = jnp.where(valid, g(tree.value_sum), 0.0)
+    pa_p = jnp.where(valid, g(tree.pa), 0)
+    e_prior_p = jnp.where(valid, g(tree.e_prior), 0.0)
+    term_p = jnp.where(valid, g(tree.terminal), False)
+    tval_p = jnp.where(valid, g(tree.tval), 0.0)
+    old_parent_p = g(tree.parent)
+    parent_p = jnp.where(
+        valid & (iota[None, :] > 0),
+        jnp.take_along_axis(new_id, jnp.maximum(old_parent_p, 0), axis=1),
+        NO_NODE,
+    )
+    uprior_p = jnp.where(
+        valid[:, :, None],
+        jnp.take_along_axis(tree.uprior, oon[:, :, None], axis=1),
+        -1.0,
+    )
+
+    # --- re-noise the new root's prior (same mix as a fresh root)
+    up0 = uprior_p[:, 0, :]                                   # [B, A]
+    child_mask = valid & (parent_p == 0) & (iota[None, :] > 0)
+    ohc = (
+        pa_p[:, None, :] == jnp.arange(a_dim, dtype=jnp.int32)[None, :, None]
+    ) & child_mask[:, None, :]                                # [B, A, nodes]
+    pe = jnp.where(ohc, e_prior_p[:, None, :], 0.0).sum(-1)
+    p_full = jnp.where(up0 >= 0, up0, 0.0) + pe
+    renorm = mix_prior(p_full)
+    up0_new = jnp.where(up0 >= 0, renorm, -1.0)
+    uprior_p = uprior_p.at[:, 0, :].set(up0_new)
+    e_prior_p = jnp.where(
+        child_mask,
+        jnp.take_along_axis(renorm, jnp.clip(pa_p, 0, a_dim - 1), axis=1),
+        e_prior_p,
+    )
+    root_child_p = jnp.where(ohc, iota[None, None, :] + 1, 0).sum(-1) - 1
+
+    # --- node states: node-axis permute per env (batch trailing)
+    def gn(buf):
+        idx = oon.T.reshape((nodes,) + (1,) * (buf.ndim - 2) + (batch,))
+        return jnp.take_along_axis(buf, idx, axis=0)
+
+    planes_p = gn(tree.planes)
+    compid_p = gn(tree.compid)
+    scalars_p = gn(tree.scalars)
+
+    if use_amask:
+        am1 = jnp.take_along_axis(tree.amask, oon[:, :, None], axis=1)
+        am2 = jnp.take_along_axis(am1, oon[:, None, :], axis=2)
+        amask_p = am2 & valid[:, :, None] & valid[:, None, :]
+        depth_kid = jnp.take_along_axis(
+            tree.depth, jnp.maximum(kid, 0)[:, None], axis=1
+        )
+        depth_p = jnp.where(valid, g(tree.depth) - depth_kid, 0)
+    else:
+        amask_p, depth_p = tree.amask, tree.depth
+
+    # --- per-env select: re-rooted tree where reuse, fresh init otherwise
+    def sel_b(re_arr, fr_arr):  # batch-leading leaves
+        cond = reuse.reshape((batch,) + (1,) * (re_arr.ndim - 1))
+        return jnp.where(cond, re_arr, fr_arr)
+
+    def sel_t(re_arr, fr_arr):  # batch-trailing leaves (node states)
+        cond = reuse.reshape((1,) * (re_arr.ndim - 1) + (batch,))
+        return jnp.where(cond, re_arr, fr_arr)
+
+    tree = Tree(
+        visit=sel_b(visit_p, fresh.visit),
+        value_sum=sel_b(vsum_p, fresh.value_sum),
+        uprior=sel_b(uprior_p, fresh.uprior),
+        parent=sel_b(parent_p, fresh.parent),
+        pa=sel_b(pa_p, fresh.pa),
+        e_prior=sel_b(e_prior_p, fresh.e_prior),
+        terminal=sel_b(term_p, fresh.terminal),
+        tval=sel_b(tval_p, fresh.tval),
+        linked=sel_b(valid, fresh.linked),
+        root_child=sel_b(root_child_p, fresh.root_child),
+        amask=sel_b(amask_p, fresh.amask) if use_amask else fresh.amask,
+        depth=sel_b(depth_p, fresh.depth) if use_amask else fresh.depth,
+        planes=sel_t(planes_p, fresh.planes),
+        compid=sel_t(compid_p, fresh.compid),
+        scalars=sel_t(scalars_p, fresh.scalars),
+    )
+
+    # inherited budget: per-env root visit count carried over from the
+    # previous move's tree (1 for cold roots) — the reuse diagnostic
+    inherited = jnp.where(reuse, tree.visit[:, 0], 1)
+
+    # --- spend the budget (standard PUCT below the root)
+    node0 = jnp.zeros((batch,), jnp.int32)
+    simulate = _make_simulate(
+        params=params,
+        key=key,
+        evaluator=evaluator,
+        board_size=board_size,
+        batch=batch,
+        nodes=nodes,
+        a_dim=a_dim,
+        c_puct=c_puct,
+        root_entry=lambda tree, sim: _best_edge(tree, node0, c_puct),
+        use_amask=use_amask,
+        fresh_base=cap,
+    )
+    tree, _, _ = jax.lax.fori_loop(
+        0, num_simulations, simulate, (tree, jnp.int32(0), jnp.int32(0))
+    )
+
+    oh = tree.root_child[..., None] == iota                   # [B, A, nodes]
+    kid_visits = jnp.where(oh, tree.visit[:, None, :], 0).sum(-1)
+    kid_visits = jnp.where(root_legal, kid_visits, 0)
+    visit_probs = kid_visits.astype(jnp.float32) / jnp.maximum(
+        kid_visits.sum(-1, keepdims=True), 1
+    ).astype(jnp.float32)
+    root_q = tree.value_sum[:, 0] / jnp.maximum(
+        tree.visit[:, 0], 1
+    ).astype(jnp.float32)
+    if return_stats:
+        return visit_probs, root_q, tree, {
+            "reused_envs": reuse.sum(),
+            "inherited_visits": inherited.sum(),
+        }
+    return visit_probs, root_q, tree
 
 
 def batched_search(params, states, key, **kw):

@@ -96,16 +96,25 @@ def selfplay_chunk(
     with Dirichlet root noise, visit-count policy targets, and
     temperature-sampled actions (greedy argmax once an episode's move
     counter reaches ``temp_moves``, the AlphaZero opening-temperature
-    anneal; the default never anneals); ``"gumbel"`` — Gumbel sequential halving
+    anneal; the default never anneals); ``"puct_reuse"`` — the same
+    search with TREE REUSE across moves (mcts.search_batch_reuse): each
+    move re-roots the previous move's tree on the action just played and
+    keeps the surviving subtree's visits/values/priors (auto-reset envs
+    cold-start; the tree carry re-seeds at chunk boundaries, so 1 move
+    per chunk is cold); ``"gumbel"`` — Gumbel sequential halving
     (mcts.gumbel_search_batch): the sampled Gumbels are the exploration,
     the chosen candidate is played directly, and the policy target is the
     completed-Q improved policy.
     """
-    assert search in ("puct", "gumbel"), search
+    assert search in ("puct", "puct_reuse", "gumbel"), search
     batch = bs.current_player.shape[-1]
+    reuse = search == "puct_reuse"
 
     def body(carry, i):
-        bs, key = carry
+        if reuse:
+            bs, key, tree, played, done_prev = carry
+        else:
+            bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
         pk = bit_observation_packed(bs, board_size)
         player = jnp.clip(bs.current_player, 0, 1)
@@ -128,14 +137,27 @@ def selfplay_chunk(
                 num_simulations=num_simulations,
             )
         else:
-            probs, root_q = mcts.search_batch(
-                params,
-                bs,
-                k_search,
-                evaluator=mcts.net_evaluator(net_apply, board_size),
-                board_size=board_size,
-                num_simulations=num_simulations,
-            )
+            if reuse:
+                probs, root_q, tree = mcts.search_batch_reuse(
+                    params,
+                    bs,
+                    k_search,
+                    tree,
+                    played,
+                    done_prev,
+                    evaluator=mcts.net_evaluator(net_apply, board_size),
+                    board_size=board_size,
+                    num_simulations=num_simulations,
+                )
+            else:
+                probs, root_q = mcts.search_batch(
+                    params,
+                    bs,
+                    k_search,
+                    evaluator=mcts.net_evaluator(net_apply, board_size),
+                    board_size=board_size,
+                    num_simulations=num_simulations,
+                )
             # temperature sampling over visit counts; illegal actions
             # carry zero visit mass, but mask explicitly for safety
             logits = jnp.log(jnp.maximum(probs, 1e-9)) / temperature
@@ -149,9 +171,8 @@ def selfplay_chunk(
                 bs.move_counter < temp_moves, sampled, greedy
             )
 
-        nxt, done, result = bit_step_auto_reset(
-            bs, actions.astype(jnp.int32), board_size
-        )
+        actions = actions.astype(jnp.int32)
+        nxt, done, result = bit_step_auto_reset(bs, actions, board_size)
         out = {
             "obs": obs,
             "policy": probs,
@@ -159,11 +180,26 @@ def selfplay_chunk(
             "done": done,
             "result": result,
         }
+        if reuse:
+            return (nxt, key, tree, actions, done), out
         return (nxt, key), out
 
-    (final_bs, _), tr = jax.lax.scan(
-        body, (bs, key), jnp.arange(num_steps)
-    )
+    if reuse:
+        tree0 = mcts.init_reuse_tree(
+            bs, board_size=board_size, num_simulations=num_simulations
+        )
+        carry0 = (
+            bs, key, tree0,
+            jnp.full((batch,), -1, jnp.int32),
+            jnp.ones((batch,), bool),
+        )
+        (final_bs, *_), tr = jax.lax.scan(
+            body, carry0, jnp.arange(num_steps)
+        )
+    else:
+        (final_bs, _), tr = jax.lax.scan(
+            body, (bs, key), jnp.arange(num_steps)
+        )
 
     # Backward scan: propagate each episode's terminal outcome (red's
     # perspective) to all of its positions; positions whose episode never
