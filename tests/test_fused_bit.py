@@ -75,6 +75,26 @@ def test_fused_bit_multi_tile_grid():
     assert np.asarray(sx.result).min() >= geo.RESULT_OPEN
 
 
+def test_fused_bit_emit_obs_dma_matches_vmem():
+    # The double-buffered DMA obs stream (obs_dma=True) must be
+    # bit-identical to the VMEM-block emission, final states included.
+    n, b, tile, steps = 5, 256, 128, 30
+    bs0 = bit_reset(n, b)
+    f_v, s_v, obs_v = fused_bit_rollout(
+        9, n, steps, bs0, tile=tile, interpret=True, emit_obs=True
+    )
+    f_d, s_d, obs_d = fused_bit_rollout(
+        9, n, steps, bs0, tile=tile, interpret=True, emit_obs=True,
+        obs_dma=True,
+    )
+    assert int(s_v["episodes"]) == int(s_d["episodes"]) > 0
+    np.testing.assert_array_equal(np.asarray(obs_v), np.asarray(obs_d))
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(f_v), jax.tree_util.tree_leaves(f_d)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_fused_bit_emit_obs_matches_xla_packed():
     # The fused kernel's per-step packed obs stream (emit_obs=True, the
     # config-4 fast path) must be bit-identical to the XLA emission

@@ -186,7 +186,7 @@ def _packed_obs_planes(bs: BitState):
 
 
 def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
-                 treedef, emit_obs: bool = False):
+                 treedef, emit_obs: bool = False, obs_dma: bool = False):
     tile = subl * lanes
     p = padded_size(board_size)
 
@@ -196,6 +196,11 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
         episodes_ref = refs[2 * _NUM_LEAVES]
         results_ref = refs[2 * _NUM_LEAVES + 1]
         obs_ref = refs[2 * _NUM_LEAVES + 2] if emit_obs else None
+        if emit_obs and obs_dma:
+            # trailing scratch args (scratch_shapes): 2-slot VMEM staging
+            # buffer + per-slot DMA semaphores
+            obs_scratch = refs[2 * _NUM_LEAVES + 3]
+            obs_sem = refs[2 * _NUM_LEAVES + 4]
 
         prog = pl.program_id(0).astype(jnp.int32)
         seed = seed_ref[0, 0].astype(_U32)
@@ -211,9 +216,39 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
         init = _bit_reset_leaves(board_size)
         zero = jnp.zeros((subl, lanes), jnp.int32)
 
+        def obs_dma_copy(k, slot):
+            """Async copy of step ``k``'s staged planes to the HBM obs
+            stream (rows [k*12P, (k+1)*12P), this tile's sublane range)."""
+            return pltpu.make_async_copy(
+                obs_scratch.at[slot],
+                obs_ref.at[
+                    pl.ds(k * 12 * p, 12 * p),
+                    pl.ds(prog * subl, subl),
+                    slice(None),
+                ],
+                obs_sem.at[slot],
+            )
+
         def body(k, carry):
             bs, ep, r0, r1, r2, r3 = carry
-            if emit_obs:
+            if emit_obs and obs_dma:
+                # DOUBLE-BUFFERED obs streaming: stage this step's planes
+                # in one of two VMEM slots and DMA them to HBM
+                # asynchronously; only wait when the slot is needed again
+                # two steps later.  VMEM holds 2 steps of obs instead of
+                # the whole chunk (the round-3 VMEM-resident block capped
+                # tile*num_steps and lost to the XLA path).
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k >= 2)
+                def _():
+                    obs_dma_copy(k - 2, slot).wait()
+
+                planes = _packed_obs_planes(bs)
+                for j, plane in enumerate(planes):
+                    obs_scratch[slot, pl.ds(j * p, p)] = plane
+                obs_dma_copy(k, slot).start()
+            elif emit_obs:
                 # pre-move observation of every env, packed lane-major;
                 # rows [k*12P, (k+1)*12P) of the obs output block
                 planes = _packed_obs_planes(bs)
@@ -240,6 +275,10 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
         final, ep, r0, r1, r2, r3 = jax.lax.fori_loop(
             0, num_steps, body, (state0, zero, zero, zero, zero, zero)
         )
+        if emit_obs and obs_dma:
+            # drain the in-flight tail (the last min(2, num_steps) copies)
+            for k in range(max(0, num_steps - 2), num_steps):
+                obs_dma_copy(k, k % 2).wait()
         for r, v in zip(out_refs, jax.tree_util.tree_leaves(final)):
             r[...] = v
         episodes_ref[...] = ep
@@ -254,7 +293,7 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("board_size", "num_steps", "tile", "interpret",
-                     "emit_obs"),
+                     "emit_obs", "obs_dma"),
 )
 def fused_bit_rollout(
     seed,
@@ -265,6 +304,7 @@ def fused_bit_rollout(
     tile: int = 1024,
     interpret: bool = False,
     emit_obs: bool = False,
+    obs_dma: bool = False,
 ):
     """``num_steps`` lockstep random-policy steps fully inside one Pallas
     kernel per batch tile, on the bitboard engine.
@@ -278,14 +318,24 @@ def fused_bit_rollout(
     of every step — (final_state, stats, obs[T, 12, P, B] u32), the
     lane-major wire format decoded by
     ``ops.observe.unpack_observation_lanes_nchw`` and bit-equal to the
-    XLA emission path (``bitboard.bit_rollout_emit_obs(packed=True)``;
-    pinned by tests/test_fused_bit.py).  The per-step planes are written
-    straight from VMEM state, so HBM sees only the obs stream plus one
-    read+write of the state per launch — the config-4 learner feed
-    without the XLA path's per-step state re-read/re-write.  The obs
-    output block lives in VMEM for the whole kernel
-    (num_steps * 12 * P * tile * 4 bytes: keep num_steps * tile modest,
-    e.g. 16 steps x tile 1024 at board 24 = 23.6 MB).
+    XLA emission path (``bitboard.bit_rollout_emit_obs(packed=True)``'s
+    first 12 planes; pinned by tests/test_fused_bit.py).  The per-step
+    planes are written straight from VMEM state, so HBM sees only the obs
+    stream plus one read+write of the state per launch — the config-4
+    learner feed without the XLA path's per-step state re-read/re-write.
+
+    Two obs placements:
+
+      * ``obs_dma=False`` — the obs output block lives in VMEM for the
+        whole kernel (num_steps * 12 * P * tile * 4 bytes: caps
+        num_steps * tile, e.g. 16 steps x tile 1024 at board 24 =
+        23.6 MB; tile 2048 fails to compile);
+      * ``obs_dma=True`` — the obs output stays in HBM and each step's
+        planes are staged in a 2-slot VMEM scratch and streamed out with
+        DOUBLE-BUFFERED async DMA (wait only when a slot is reused two
+        steps later), so VMEM holds 2 steps of obs instead of the chunk
+        and the tile/chunk ceiling is gone.  Bit-identical output
+        (tests/test_fused_bit.py runs both arms).
     """
     batch = bs.current_player.shape[-1]
     assert bs.current_player.ndim == 1, "fused path expects 1-D env batch"
@@ -330,9 +380,14 @@ def fused_bit_rollout(
         out_shapes.append(
             jax.ShapeDtypeStruct((rows, batch // lanes, lanes), jnp.uint32)
         )
-        out_specs.append(
-            pl.BlockSpec((rows, subl, lanes), lambda i: (0, i, 0))
-        )
+        if obs_dma:
+            # whole obs stream stays in HBM; the kernel DMAs into its
+            # tile's sublane range
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            out_specs.append(
+                pl.BlockSpec((rows, subl, lanes), lambda i: (0, i, 0))
+            )
     aliases = {j + 1: j for j in range(_NUM_LEAVES)}
 
     kwargs = {}
@@ -340,9 +395,15 @@ def fused_bit_rollout(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
+    if emit_obs and obs_dma:
+        p = padded_size(board_size)
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((2, 12 * p, subl, lanes), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     outs = pl.pallas_call(
         _make_kernel(board_size, num_steps, subl, lanes, treedef,
-                     emit_obs=emit_obs),
+                     emit_obs=emit_obs, obs_dma=obs_dma),
         grid=(grid,),
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0))] + state_specs,
         out_specs=out_specs,
