@@ -20,17 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-if "--virtual=8" in sys.argv:
+_VIRTUAL = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--virtual="):
+        _VIRTUAL = int(_a.split("=", 1)[1])
+if _VIRTUAL:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
+        + f" --xla_force_host_platform_device_count={_VIRTUAL}"
     ).strip()
 
 import jax
 import numpy as np
 
-if "--virtual=8" in sys.argv:
+if _VIRTUAL:
     jax.config.update("jax_platforms", "cpu")
     try:
         jax.extend.backend.clear_backends()
@@ -66,11 +70,19 @@ def main():
     chunk = 16 if on_tpu else 4
     sims = 64 if on_tpu else 8
     channels, blocks = (64, 4) if on_tpu else (16, 1)
+    if "--weak" in sys.argv:
+        # WEAK scaling: constant per-device env batch, so the global batch
+        # grows with the mesh and per-iteration time should stay ~flat
+        batch = (batch if on_tpu else 8) * len(devices)
 
     mesh = make_env_mesh(devices)
     net = create_net(n, channels=channels, blocks=blocks)
     params = init_params(net, jax.random.PRNGKey(0))
-    search = "gumbel" if "--gumbel" in sys.argv else "puct"
+    search = "puct"
+    if "--gumbel" in sys.argv:
+        search = "gumbel"
+    if "--reuse" in sys.argv:
+        search = "puct_reuse"
     selfplay, _ = make_distributed_selfplay(
         net.apply, n, num_steps=chunk, num_simulations=sims, mesh=mesh,
         search=search,
@@ -115,7 +127,7 @@ def main():
         file=sys.stderr,
     )
 
-    if len(devices) > 1:
+    if len(devices) > 1 and "--weak" not in sys.argv:
         # scaling efficiency: same global work on 1 device
         mesh1 = make_env_mesh(devices[:1])
         sp1, _ = make_distributed_selfplay(
