@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU config to validate the harness")
+    ap.add_argument("--configs", default=None,
+                    help="subset as batch:sims pairs, e.g. 512:64,1024:64")
     args = ap.parse_args()
 
     if args.quick:
@@ -97,6 +99,11 @@ def main():
             (512, 64), (512, 128), (512, 256), (512, 512),
             (1024, 64), (2048, 64), (4096, 64),
         ]
+        if args.configs:
+            configs = [
+                tuple(int(v) for v in c.split(":"))
+                for c in args.configs.split(",") if c
+            ]
         channels, blocks = args.channels, args.blocks
 
     print(

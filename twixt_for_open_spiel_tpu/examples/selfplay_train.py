@@ -55,7 +55,7 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--temp_moves", type=int, default=10 ** 9,
                     help="opening plies with temperature sampling (puct search)")
-    ap.add_argument("--search", choices=("puct", "gumbel"),
+    ap.add_argument("--search", choices=("puct", "puct_reuse", "gumbel"),
                     default="puct",
                     help="root search: AlphaZero PUCT+Dirichlet or Gumbel sequential halving")
     ap.add_argument("--seed", type=int, default=0)
