@@ -398,15 +398,18 @@ def _make_simulate(
         # B=512 -> 1024, the single largest superlinear op of the B>512
         # cliff); the fused elementwise mask is linear AND cheaper at
         # every batch (scripts/perf_cliff2.py).
-        iota_kn = jnp.arange(nodes, dtype=jnp.int32)[None, :, None]
-        iota_ka = jnp.arange(a_dim, dtype=jnp.int32)[None, None, :]
-        retire_hit = (iota_kn == leaf_parent[:, None, None]) & (
-            iota_ka == action[:, None, None]
+        up_flat = tree.uprior.reshape(batch, nodes * a_dim)
+        up_flat = jnp.put_along_axis(
+            up_flat,
+            (leaf_parent * a_dim + action)[:, None],
+            -1.0,
+            axis=1,
+            inplace=False,
         )
         tree = tree._replace(
             amask=amask,
             depth=depth,
-            uprior=jnp.where(retire_hit, -1.0, tree.uprior)
+            uprior=up_flat.reshape(batch, nodes, a_dim)
             .at[:, new_node]
             .set(jnp.where(child_legal, prior, -1.0)),
             parent=tree.parent.at[:, new_node].set(leaf_parent),
