@@ -48,10 +48,16 @@ Expansion steps the BITBOARD engine (ops/bitboard.step_bits) once for the
 whole batch — node states are packed ``BitState`` buffers with a leading
 ``[nodes]`` axis and the env batch trailing — and evaluation is one
 ``[B]``-batch network call on observations emitted straight from the
-bitplanes (ops/observe.bit_observation_nchw, ~330 us/call: the per-sim
-floor).
+bitplanes (ops/observe.bit_observation_nchw; the apply is MXU-saturated
+at B=512 — measured exactly linear in batch, scripts/perf_cliff.py — so
+K-leaf evaluation batching cannot amortise it and is deliberately not
+implemented; docs/PERF.md "Leaf batching").
 
 Simulation count and tree size are static; search never reallocates.
+:func:`search_batch_reuse` adds TREE REUSE across moves — fixed-shape
+re-rooting of the array-of-trees on each env's played action (survivors
+compacted to the low slots, fresh expansions above them), pinned
+integer-exact over multi-move sequences (tests/test_reuse_exact.py).
 """
 
 from __future__ import annotations
