@@ -277,6 +277,38 @@ def test_sample_legal_plane_matches_engine():
     np.testing.assert_array_equal(legal_dec[0], ref0)
 
 
+@pytest.mark.parametrize("n", [5, 8, 12, 24])
+def test_unpack_legal_words_flat_matches_engine_mask(n):
+    """unpack_legal_words_flat (the learner-side legal decode) must equal
+    bit_legal_mask_flat bit-for-bit on random mid-game states at every
+    board size."""
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        bit_legal_mask_flat,
+        bit_reset,
+        bit_step_auto_reset,
+        sample_bits,
+        _hash_u32,
+    )
+    from twixt_for_open_spiel_tpu.ops.observe import unpack_legal_words_flat
+
+    b = 4
+    bs = bit_reset(n, b)
+    env = jnp.arange(b, dtype=jnp.uint32)
+    for i in range(6):
+        noise = _hash_u32(jnp.uint32(7 + i)) + env * jnp.uint32(0x9E3779B9)
+        a = sample_bits(bs, n, noise)
+        bs, _, _ = bit_step_auto_reset(bs, a, n)
+    for player in (0, 1):
+        words = jnp.where(
+            jnp.asarray(player) == 0, bs.legal[0], bs.legal[1]
+        ).T  # [B, P]
+        dec = np.asarray(unpack_legal_words_flat(words, n))
+        ref = np.asarray(
+            jnp.moveaxis(bit_legal_mask_flat(bs, player, n), 0, -1)
+        )
+        np.testing.assert_array_equal(dec, ref, err_msg=f"n={n} p={player}")
+
+
 def test_selfplay_policy_targets_match_engine_legality():
     """Every position's policy target must be supported only on actions that
     were legal in that env's state at that time (cross-checked by replaying
