@@ -69,7 +69,7 @@ class Sample(NamedTuple):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "num_steps", "num_simulations", "search",
-        "temp_moves",
+        "temp_moves", "reuse_cap",
     ),
 )
 def selfplay_chunk(
@@ -84,6 +84,7 @@ def selfplay_chunk(
     temperature: float = 1.0,
     temp_moves: int = 10 ** 9,
     search: str = "puct",
+    reuse_cap: int | None = None,
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
     (final_bitstate, Sample).
@@ -101,7 +102,11 @@ def selfplay_chunk(
     move re-roots the previous move's tree on the action just played and
     keeps the surviving subtree's visits/values/priors (auto-reset envs
     cold-start; the tree carry re-seeds at chunk boundaries, so 1 move
-    per chunk is cold); ``"gumbel"`` — Gumbel sequential halving
+    per chunk is cold).  ``reuse_cap`` bounds the survivor slots
+    (default num_simulations+1 = the whole budget can survive; smaller
+    caps shrink the tree — every dense search pass scales with
+    cap+sims — at the cost of cold-starting envs whose surviving
+    subtree overflows); ``"gumbel"`` — Gumbel sequential halving
     (mcts.gumbel_search_batch): the sampled Gumbels are the exploration,
     the chosen candidate is played directly, and the policy target is the
     completed-Q improved policy.
@@ -148,6 +153,7 @@ def selfplay_chunk(
                     evaluator=mcts.net_evaluator(net_apply, board_size),
                     board_size=board_size,
                     num_simulations=num_simulations,
+                    reuse_cap=reuse_cap,
                 )
             else:
                 probs, root_q = mcts.search_batch(
@@ -186,7 +192,8 @@ def selfplay_chunk(
 
     if reuse:
         tree0 = mcts.init_reuse_tree(
-            bs, board_size=board_size, num_simulations=num_simulations
+            bs, board_size=board_size, num_simulations=num_simulations,
+            reuse_cap=reuse_cap,
         )
         carry0 = (
             bs, key, tree0,
