@@ -185,9 +185,8 @@ def test_selfplay_chunk_and_train(params):
         num_steps=t,
         num_simulations=8,
     )
-    assert sample.obs.shape == (
-        t, b, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
-    )
+    assert sample.obs.shape == (t, b, geo.NUM_PLANES * (N + 2 * geo.PAD))
+    assert sample.legal.shape == (t, b, N + 2 * geo.PAD)
     assert sample.policy.shape == (t, b, N * N)
     assert sample.value.shape == (t, b)
     w = np.asarray(sample.weight)
@@ -251,7 +250,6 @@ def test_sample_legal_plane_matches_engine():
     b, t = 3, 6
     bs = bit_reset(N, b)
     params = init_params(NET, jax.random.PRNGKey(11))
-    p_words = N + 2 * geo.PAD
     _, sample = selfplay_chunk(
         params,
         bs,
@@ -261,9 +259,7 @@ def test_sample_legal_plane_matches_engine():
         num_steps=t,
         num_simulations=4,
     )
-    legal_dec = np.asarray(
-        unpack_legal_words_flat(sample.obs[..., 12 * p_words :], N)
-    )
+    legal_dec = np.asarray(unpack_legal_words_flat(sample.legal, N))
     # replay the same chunk stepwise: the policy target's support must lie
     # inside the decoded legal mask, and the decoded mask must equal the
     # engine's mask for the recorded mover (cross-check via policy>0)
@@ -350,9 +346,7 @@ def test_selfplay_chunk_reuse(params):
         num_simulations=8,
         search="puct_reuse",
     )
-    assert sample.obs.shape == (
-        t, b, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
-    )
+    assert sample.obs.shape == (t, b, geo.NUM_PLANES * (N + 2 * geo.PAD))
     pol = np.asarray(sample.policy)
     assert np.allclose(pol.sum(-1), 1.0, atol=1e-5)
     w = np.asarray(sample.weight)
@@ -527,9 +521,8 @@ def test_selfplay_chunk_gumbel(params):
         num_simulations=8,
         search="gumbel",
     )
-    assert sample.obs.shape == (
-        3, 4, (geo.NUM_PLANES + 1) * (N + 2 * geo.PAD)
-    )
+    assert sample.obs.shape == (3, 4, geo.NUM_PLANES * (N + 2 * geo.PAD))
+    assert sample.legal.shape == (3, 4, N + 2 * geo.PAD)
     p = np.asarray(sample.policy)
     assert np.all(p >= 0)
     assert np.allclose(p.sum(-1), 1.0, atol=1e-4)

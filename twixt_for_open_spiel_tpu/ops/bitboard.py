@@ -638,12 +638,14 @@ def bit_rollout_emit_obs(
     Returns (final_state, stats, obs[T, B, 12, n, n-2] bf16).  ``bs`` must
     carry a 1-D trailing env batch.
 
-    With ``packed=True`` the emitted tensor is the exact-but-compressed
-    packed encoding instead — [T, B, 13*P] u32 column words (~1 bit/cell,
-    16-32x fewer HBM bytes than bf16): 12 observation planes plus the
-    mover's legal plane, the full self-play wire
-    (models/selfplay.Sample).  The learner decodes the obs words with
-    ``obs[..., :12*P].reshape(T, B, 12, P)`` +
+    With ``packed=True`` ``obs`` is the exact-but-compressed packed
+    encoding instead — a TUPLE ``(obs_words [T, B, 12*P], legal_words
+    [T, B, P])`` of u32 column words (~1 bit/cell, 16-32x fewer HBM
+    bytes than bf16): the observation planes plus the mover's legal
+    plane as a SEPARATE scan output, the full self-play wire
+    (models/selfplay.Sample; a single concatenated output loses the
+    scan's dense write fusion — scripts/perf_obs_wire.py).  The learner
+    decodes the obs words with ``reshape(T, B, 12, P)`` +
     ``ops.observe.unpack_observation_nchw`` fused into its input
     transpose and the legal words with
     ``ops.observe.unpack_legal_words_flat``.  The encoding is pinned
@@ -666,16 +668,15 @@ def bit_rollout_emit_obs(
         bs, episodes = carry
         if packed:
             pk = bit_observation_packed(bs, board_size)
-            # append the mover's packed legal plane: the full self-play
-            # wire (models/selfplay.Sample) is 13 planes — 12 obs + the
-            # legal mask the policy loss normalises over
+            # the mover's packed legal plane rides as its OWN scan output
+            # (the full self-play wire, models/selfplay.Sample;
+            # concatenating it into obs breaks the scan's dense write
+            # fusion — 13M vs 36M env-steps/s, scripts/perf_obs_wire.py)
             player = jnp.clip(bs.current_player, 0, 1)
             legal_words = jnp.where(
                 player[None, :] == 0, bs.legal[0], bs.legal[1]
             ).T  # [B, P]
-            obs = jnp.concatenate(
-                [pk.reshape(pk.shape[0], -1), legal_words], axis=-1
-            )
+            obs = (pk.reshape(pk.shape[0], -1), legal_words)
         else:
             obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
         noise = _hash_u32(
