@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from twixt_for_open_spiel_tpu.ops import geometry as geo
 from twixt_for_open_spiel_tpu.ops.bitboard import (
     _hash_u32,
     bit_reset,
@@ -105,7 +104,10 @@ def main():
     print(f"backend={jax.default_backend()} n={N} batch={BATCH} "
           f"chunk={CHUNK}")
     bs0 = bit_reset(N, BATCH)
-    for form in ("12+legal-lane-2out",):
+    for form in (
+        "none", "12", "13-two-transpose", "13-one-transpose",
+        "13-lane-major", "12+legal-2out", "12+legal-lane-2out",
+    ):
         run = make_run(form)
         bs, obs = run(0, bs0)
         np.asarray(bs.move_counter)[0]
