@@ -50,7 +50,40 @@ def bench(run, state, chunk, batch, launches):
     return batch * chunk * launches / dt
 
 
+def check(n=5, batch=1024, tile=512, chunk=20):
+    """Real-chip bit-equality spot check of the fused packed obs stream
+    (both VMEM and DMA arms) against the XLA emission — the interpret-mode
+    pins (tests/test_fused_bit.py) compiled through Mosaic for real."""
+    bs0 = bit_reset(n, batch)
+    f_x, s_x, (obs_words, _legal) = bit_rollout_emit_obs(
+        9, n, chunk, bs0, packed=True
+    )
+    p = obs_words.shape[-1] // 12
+    ref = np.asarray(obs_words).reshape(chunk, batch, 12, p).transpose(
+        0, 2, 3, 1
+    )
+    for dma in (False, True):
+        f_k, s_k, obs_k = fused_bit_rollout(
+            9, n, chunk, bs0, tile=tile, emit_obs=True, obs_dma=dma
+        )
+        ok_obs = bool(np.array_equal(np.asarray(obs_k), ref))
+        ok_state = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(f_x),
+                jax.tree_util.tree_leaves(f_k),
+            )
+        )
+        print(f"hardware check dma={int(dma)}: obs_equal={ok_obs} "
+              f"state_equal={ok_state} "
+              f"episodes={int(s_k['episodes'])}", flush=True)
+        assert ok_obs and ok_state
+
+
 def main():
+    if "--check" in sys.argv:
+        check()
+        return
     n, batch = 24, 8192
     launches = 40
     print(f"backend={jax.default_backend()} n={n} batch={batch}")
