@@ -63,6 +63,11 @@ def main():
                     help="comma-separated iterations at which to arena-gate")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in "
+                         "--checkpoint_dir (params, optimizer state, "
+                         "iteration counter, and the best-gate record); "
+                         "the recovery path after an interrupted run")
     ap.add_argument("--log", default=None, help="JSONL metrics file")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run to validate the loop end to end")
@@ -146,8 +151,34 @@ def main():
     state = bit_reset(n, args.batch)
     key = jax.random.PRNGKey(args.seed + 1)
     best_score, best_params, best_it = -1.0, params, 0
+    start_it = 1
+    if args.resume and args.checkpoint_dir:
+        restored = serialization.restore_training(
+            args.checkpoint_dir, params, opt_state
+        )
+        if restored is not None:
+            params, opt_state, last_it = restored
+            start_it = last_it + 1
+            meta_path = os.path.join(args.checkpoint_dir, "best_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                best_score, best_it = meta["a_score"], meta["iteration"]
+                rb = serialization.restore_training(
+                    os.path.join(args.checkpoint_dir, "best"),
+                    params, opt_state,
+                )
+                if rb is not None:
+                    best_params = rb[0]
+            # the RNG stream restarts from the checkpointed iteration's
+            # fold; exact bitwise continuation of the original stream is
+            # not preserved (the env states are fresh), which is fine —
+            # resume is a recovery path, not a determinism path
+            key = jax.random.fold_in(key, start_it)
+            emit({"kind": "resume", "from_iteration": last_it,
+                  "best_score": best_score, "best_iteration": best_it})
     t_start = time.perf_counter()
-    for it in range(1, args.iterations + 1):
+    for it in range(start_it, args.iterations + 1):
         t0 = time.perf_counter()
         key, k = jax.random.split(key)
         state, sample = selfplay_chunk(
@@ -197,6 +228,10 @@ def main():
                         os.path.join(args.checkpoint_dir, "best"),
                         params, opt_state, it,
                     )
+                    with open(os.path.join(args.checkpoint_dir,
+                                           "best_meta.json"), "w") as f:
+                        json.dump({"a_score": best_score,
+                                   "iteration": best_it}, f)
             if args.checkpoint_dir:
                 serialization.save_training(
                     args.checkpoint_dir, params, opt_state, it
