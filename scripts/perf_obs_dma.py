@@ -50,7 +50,7 @@ def bench(run, state, chunk, batch, launches):
     return batch * chunk * launches / dt
 
 
-def check(n=5, batch=1024, tile=512, chunk=20):
+def check(n=5, batch=1024, tile=1024, chunk=20):
     """Real-chip bit-equality spot check of the fused packed obs stream
     (both VMEM and DMA arms) against the XLA emission — the interpret-mode
     pins (tests/test_fused_bit.py) compiled through Mosaic for real."""
