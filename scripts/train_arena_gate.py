@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--gates",
                     default="100,200,300,400,500,600,700,800,900,1000",
                     help="comma-separated iterations at which to arena-gate")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="N>0: run self-play AND training through the "
+                         "DISTRIBUTED path (parallel/learner_feed) over an "
+                         "N-device env mesh — sharded env state, sharded "
+                         "sample, psum/pmean gradient combine.  0 (default): "
+                         "single-device local path.  N=1 on the real chip "
+                         "runs the identical shard_map program a pod would.")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--resume", action="store_true",
@@ -122,6 +129,64 @@ def main():
     opt = make_optimizer(args.lr)
     opt_state = opt.init(params)
 
+    if args.mesh:
+        # config 5's distributed clause (BASELINE.json): env-sharded
+        # self-play feeding the sharded learner through XLA collectives —
+        # the same shard_map program at N=1 (real chip) and N=8 (CPU mesh)
+        from twixt_for_open_spiel_tpu.parallel import (
+            make_distributed_selfplay,
+            make_distributed_train_step,
+            make_env_mesh,
+            shard_env_pytree,
+        )
+
+        assert args.batch % args.mesh == 0, (args.batch, args.mesh)
+        devices = jax.devices()[: args.mesh]
+        assert len(devices) == args.mesh, (
+            f"--mesh={args.mesh} but only {len(devices)} devices"
+        )
+        mesh = make_env_mesh(devices)
+        dist_selfplay, _ = make_distributed_selfplay(
+            net.apply,
+            n,
+            num_steps=args.chunk_steps,
+            num_simulations=args.simulations,
+            mesh=mesh,
+            search=args.search,
+            temp_moves=args.temp_moves,
+        )
+        dist_trainer, _ = make_distributed_train_step(net.apply, opt, mesh)
+
+        def run_selfplay(params, state, k):
+            return dist_selfplay(params, state, k)
+
+        def run_train(params, opt_state, sample):
+            return dist_trainer(params, opt_state, sample)
+
+        def place_state(state):
+            return shard_env_pytree(state, mesh)
+    else:
+        def run_selfplay(params, state, k):
+            return selfplay_chunk(
+                params,
+                state,
+                k,
+                net_apply=net.apply,
+                board_size=n,
+                num_steps=args.chunk_steps,
+                num_simulations=args.simulations,
+                temp_moves=args.temp_moves,
+                search=args.search,
+            )
+
+        def run_train(params, opt_state, sample):
+            return train_step(
+                params, opt_state, sample, net_apply=net.apply, optimizer=opt
+            )
+
+        def place_state(state):
+            return state
+
     def gate(params, it, key):
         t0 = time.perf_counter()
         tally = arena_match(
@@ -148,7 +213,7 @@ def main():
         )
         return tally["a_score"]
 
-    state = bit_reset(n, args.batch)
+    state = place_state(bit_reset(n, args.batch))
     key = jax.random.PRNGKey(args.seed + 1)
     best_score, best_params, best_it = -1.0, params, 0
     start_it = 1
@@ -160,16 +225,29 @@ def main():
             params, opt_state, last_it = restored
             start_it = last_it + 1
             meta_path = os.path.join(args.checkpoint_dir, "best_meta.json")
+            best_dir = os.path.join(args.checkpoint_dir, "best")
+            rb = serialization.restore_training(best_dir, params, opt_state)
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
-                best_score, best_it = meta["a_score"], meta["iteration"]
-                rb = serialization.restore_training(
-                    os.path.join(args.checkpoint_dir, "best"),
-                    params, opt_state,
-                )
                 if rb is not None:
+                    best_score, best_it = meta["a_score"], meta["iteration"]
                     best_params = rb[0]
+                else:
+                    # meta without a restorable best/: keeping the recorded
+                    # score would pair it with the WRONG params (the latest),
+                    # so stay conservative and let the next gate re-establish
+                    emit({"kind": "warn", "msg": "best_meta.json present "
+                          "but best/ restore failed; resetting best record"})
+            elif rb is not None:
+                # pre-meta checkpoint (best/ exists, score not recorded):
+                # re-measure the restored best so the next gate can't
+                # silently overwrite the true best with a weaker checkpoint
+                best_params, _, best_it = rb
+                key, kb = jax.random.split(key)
+                emit({"kind": "warn", "msg": "best_meta.json missing; "
+                      "re-gating restored best/ params"})
+                best_score = gate(best_params, best_it, kb)
             # the RNG stream restarts from the checkpointed iteration's
             # fold; exact bitwise continuation of the original stream is
             # not preserved (the env states are fresh), which is fine —
@@ -181,20 +259,8 @@ def main():
     for it in range(start_it, args.iterations + 1):
         t0 = time.perf_counter()
         key, k = jax.random.split(key)
-        state, sample = selfplay_chunk(
-            params,
-            state,
-            k,
-            net_apply=net.apply,
-            board_size=n,
-            num_steps=args.chunk_steps,
-            num_simulations=args.simulations,
-            temp_moves=args.temp_moves,
-            search=args.search,
-        )
-        params, opt_state, metrics = train_step(
-            params, opt_state, sample, net_apply=net.apply, optimizer=opt
-        )
+        state, sample = run_selfplay(params, state, k)
+        params, opt_state, metrics = run_train(params, opt_state, sample)
         loss = float(np.asarray(metrics["loss"]))  # forces the readback
         dt = time.perf_counter() - t0
         if it <= 3 or it % 10 == 0:

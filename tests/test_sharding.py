@@ -105,6 +105,99 @@ def test_sharded_selfplay_feeds_sharded_learner():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_dist_train_step_matches_local():
+    """The distributed train step must compute the EXACT global gradient:
+    same params/opt-state/sample => same new params and metrics as the
+    single-device ``train_step`` (up to float reduction order).
+
+    The sample's finished-frame weights are deliberately made ASYMMETRIC
+    across shards (half the envs zeroed) — the configuration where a naive
+    per-shard-normalised pmean diverges from the global objective (the
+    value term would weight a nearly-empty shard like a full one)."""
+    from twixt_for_open_spiel_tpu.models import selfplay_chunk, train_step
+    from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
+
+    n, b, t = 5, 16, 6
+    # f32 compute: bf16's reduction-shape sensitivity (local t*b batch vs
+    # per-shard t*b/8) adds ~1e-3 relative noise that would force a
+    # tolerance loose enough to mask real combine bugs
+    net = create_net(n, channels=16, blocks=1, dtype=jnp.float32)
+    params = init_params(net, jax.random.PRNGKey(0))
+    _, sample = selfplay_chunk(
+        params,
+        bit_reset(n, b),
+        jax.random.PRNGKey(1),
+        net_apply=net.apply,
+        board_size=n,
+        num_steps=t,
+        num_simulations=4,
+    )
+    w = np.asarray(sample.weight).copy()
+    w[:, : b // 2] = 0.0  # shards 0-3 contribute no finished frames
+    sample = sample._replace(weight=jnp.asarray(w))
+    assert w.sum() > 0  # the asymmetry must leave live value frames
+
+    # plain SGD so the param delta IS the gradient: adam's step-1 update
+    # is ~lr*sign(g), which amplifies a reduction-order sign flip of a
+    # near-zero gradient into a 2*lr mismatch (observed) — the pin's
+    # subject is the gradient combine, not adam's conditioning
+    import optax
+
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    p_loc, _, m_loc = train_step(
+        params, opt_state, sample, net_apply=net.apply, optimizer=opt
+    )
+    trainer, _ = make_distributed_train_step(net.apply, opt)
+    p_dist, _, m_dist = trainer(params, opt_state, sample)
+
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(p_loc), jax.tree_util.tree_leaves(p_dist)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-6
+        )
+    for k in ("loss", "policy_loss", "value_loss", "train_frames"):
+        np.testing.assert_allclose(
+            float(m_loc[k]), float(m_dist[k]), rtol=2e-5
+        )
+
+
+def test_dist_training_improves_gate():
+    """The sharded selfplay -> sharded learner loop must LEARN, not just
+    return finite losses: ~24 iterations at board 5 on the 8-device CPU
+    mesh and the trained params beat their init in a 32-game arena.
+    (Calibrated: seed 0 reaches ~0.75 by iteration 20; bar set at 0.6.)"""
+    from twixt_for_open_spiel_tpu.models import arena_match
+
+    n, batch, t, sims = 5, 32, 8, 8
+    net = create_net(n, channels=16, blocks=1)
+    params0 = init_params(net, jax.random.PRNGKey(0))
+    params = params0
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    selfplay, mesh = make_distributed_selfplay(
+        net.apply, n, num_steps=t, num_simulations=sims
+    )
+    trainer, _ = make_distributed_train_step(net.apply, opt, mesh)
+    state = sharded_bit_reset(n, batch, mesh)
+    key = jax.random.PRNGKey(1)
+    for _ in range(24):
+        key, k = jax.random.split(key)
+        state, sample = selfplay(params, state, k)
+        params, opt_state, _ = trainer(params, opt_state, sample)
+    tally = arena_match(
+        params,
+        params0,
+        jax.random.PRNGKey(123),
+        net_apply=net.apply,
+        board_size=n,
+        batch=32,
+        num_simulations=sims,
+    )
+    assert float(tally["a_score"]) >= 0.6, float(tally["a_score"])
+
+
 def test_sharded_rollout_matches_unsharded_episode_accounting():
     # same seed, same global batch: sharded and single-device rollouts use
     # different RNG fan-out, so only invariants (not trajectories) compare

@@ -398,12 +398,15 @@ def _make_simulate(
             amask, depth = tree.amask, tree.depth
 
         # retire the expanded edge: -1 at (leaf_parent, action), as a
-        # DENSE where-mask (a no-op re-retire for revisit envs).  The
-        # round-3 form — flat-view put_along_axis — lowered to a scatter
-        # whose cost grew 4x per 2x env batch (29 -> 117 us/sim at
-        # B=512 -> 1024, the single largest superlinear op of the B>512
-        # cliff); the fused elementwise mask is linear AND cheaper at
-        # every batch (scripts/perf_cliff2.py).
+        # flat-view put_along_axis SCATTER (a no-op re-retire for revisit
+        # envs).  In ISOLATION the scatter is the single largest
+        # superlinear op of the B>512 cliff (29 -> 117 us/sim at
+        # B=512 -> 1024) and a dense where-mask wins the microbench
+        # (scripts/perf_cliff2.py) — but the mask LOST in situ (734 vs
+        # 636 us/sim end-to-end) by breaking uprior's donation through
+        # the walk's loop carry, so the scatter is deliberately kept
+        # (d2214a7; docs/PERF.md "B>512 cliff").  Re-evaluate only
+        # against the end metric, never the microbench alone.
         up_flat = tree.uprior.reshape(batch, nodes * a_dim)
         up_flat = jnp.put_along_axis(
             up_flat,

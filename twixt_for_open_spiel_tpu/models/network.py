@@ -90,8 +90,13 @@ class AZNet(nn.Module):
         return logits.astype(jnp.float32), value.astype(jnp.float32)
 
 
-def create_net(board_size: int, channels: int = 128, blocks: int = 6):
-    return AZNet(board_size=board_size, channels=channels, blocks=blocks)
+def create_net(board_size: int, channels: int = 128, blocks: int = 6,
+               dtype=jnp.bfloat16):
+    """``dtype`` sets the compute dtype (params stay f32).  bf16 is the
+    production setting (MXU); f32 exists for numerical pins that need
+    reduction-shape-independent results (tests/test_sharding.py)."""
+    return AZNet(board_size=board_size, channels=channels, blocks=blocks,
+                 dtype=dtype)
 
 
 def init_params(net: AZNet, key, batch: int = 1):

@@ -279,7 +279,19 @@ def policy_ce(logits, target, legal):
     return -(target * logp).sum(-1)
 
 
-def loss_fn(params, net_apply, sample: Sample):
+def loss_fn(params, net_apply, sample: Sample, *, val_denom=None):
+    """AlphaZero loss on one chunk: legal-set policy CE (every frame) +
+    outcome-weighted value MSE.
+
+    ``val_denom`` overrides the value term's normaliser (default: this
+    sample's own finished-frame count).  The distributed learner passes
+    ``max(global_frames, 1) / num_shards`` so that the plain ``pmean`` of
+    per-shard gradients equals the EXACT global gradient of
+    ``sum_shards(val_num) / max(global_frames, 1)`` — without it, a shard
+    with few finished episodes would get the same value-gradient weight
+    as a full shard (parallel/learner_feed.py; pinned exact vs the local
+    step by tests/test_sharding.py::test_dist_train_step_matches_local).
+    """
     t, b = sample.obs.shape[:2]
     a_dim = sample.policy.shape[-1]
     n = int(round(a_dim ** 0.5))  # action space is board_size**2
@@ -302,7 +314,8 @@ def loss_fn(params, net_apply, sample: Sample):
     # ``weight``, discarding ~3/4 of the search compute's policy signal
     # at board 12 / chunk 32, where most episodes span chunks.)
     w = sample.weight
-    val_denom = jnp.maximum(w.sum(), 1.0)
+    if val_denom is None:
+        val_denom = jnp.maximum(w.sum(), 1.0)
     pol_mean = pol_loss.mean()
     val_mean = (val_loss * w).sum() / val_denom
     loss = pol_mean + val_mean

@@ -46,6 +46,8 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
         weight=P(None, ENV_AXIS),
     )
 
+    nshards = mesh.shape[ENV_AXIS]
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -54,18 +56,28 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
         check_vma=False,
     )
     def dist_train_step(params, opt_state, sample):
+        # The global objective is
+        #   mean_frames(pol_ce) + sum(val_mse * w) / max(sum(w), 1)
+        # over the WHOLE batch.  The policy term is a plain mean over
+        # equal-sized shards, so pmean of per-shard policy gradients is
+        # exact.  The value term is normalised by the GLOBAL finished-
+        # frame count (w.sum() varies by shard), so each shard minimises
+        # the surrogate  val_num_s / (max(total, 1) / nshards);  pmean of
+        # those gradients telescopes to sum_s(grad val_num_s)/max(total,1)
+        # — the exact global gradient.  (A per-shard denominator + pmean
+        # would weight a shard with one finished episode like a full
+        # shard.)  Pinned numerically identical to the local train_step
+        # by tests/test_sharding.py::test_dist_train_step_matches_local.
+        total = jax.lax.psum(sample.weight.sum(), ENV_AXIS)
+        val_denom = jnp.maximum(total, 1.0) / nshards
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            params, net_apply, sample
+            params, net_apply, sample, val_denom=val_denom
         )
-        # equal-weight average over shards: every shard normalises its
-        # policy term over the same local T x B frame count, and its value
-        # term over its own finished-episode frames (loss_fn), so the
-        # plain data-parallel pmean is the right combination.
-        frames = metrics["train_frames"]
-        total = jax.lax.psum(frames, ENV_AXIS)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, ENV_AXIS), grads
         )
+        # with the surrogate denominator the pmean of every metric IS the
+        # global value: value_loss pmean = sum_s(val_num_s)/max(total,1)
         metrics = jax.tree_util.tree_map(
             lambda m: jax.lax.pmean(m, ENV_AXIS), metrics
         )
