@@ -121,16 +121,17 @@ def bench_rollout_obs(board_size, batch, chunk, launches, packed=False):
       * ``packed=False`` — the unpacked [chunk, B, 12, n, n-2] bf16
         tensor (round-2's row; its HBM write floor is dominated by the
         physical lane padding of the bf16 minor dims);
-      * ``packed=True`` — the exact-but-compressed packed encoding
-        (a (obs [chunk, B, 12*P], legal [chunk, B, P]) u32 pair — obs
-        trailing dims coalesced so the scan's per-step writes use all
-        128 lanes, the mover's legal plane as its OWN output since a
-        concatenated 13-plane tensor loses the write fusion,
-        scripts/perf_obs_wire.py), which the learner decodes with
-        ops/observe.unpack_observation_nchw fused into its input
-        transpose; pinned bit-equal to the bf16 tensor at every size
-        5-24 (tests/test_bitboard.py) and the format the self-play
-        learner feed actually consumes (models/selfplay.Sample).
+      * ``packed=True`` — the exact-but-compressed FULL wire (ONE
+        [chunk, B, 12*P] u32 array: obs planes with the mover's legal
+        plane riding in the words' free low bits, trailing dims
+        coalesced so the scan's per-step writes use all 128 lanes —
+        a second legal output padded onto 128 lanes cost 42.7 -> 36.1M
+        in round 4, scripts/perf_obs_wire.py), which the learner
+        decodes with ops/observe.unpack_observation_nchw fused into
+        its input transpose (+ legal_words_from_obs for the legal
+        mask); pinned bit-equal to the bf16 tensor at every size 5-24
+        (tests/test_bitboard.py) and the format the self-play learner
+        feed actually consumes (models/selfplay.Sample).
     """
     from twixt_for_open_spiel_tpu.ops.bitboard import (
         bit_reset,

@@ -55,7 +55,7 @@ def check(n=5, batch=1024, tile=1024, chunk=20):
     (both VMEM and DMA arms) against the XLA emission — the interpret-mode
     pins (tests/test_fused_bit.py) compiled through Mosaic for real."""
     bs0 = bit_reset(n, batch)
-    f_x, s_x, (obs_words, _legal) = bit_rollout_emit_obs(
+    f_x, s_x, obs_words = bit_rollout_emit_obs(
         9, n, chunk, bs0, packed=True
     )
     p = obs_words.shape[-1] // 12

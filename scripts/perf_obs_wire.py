@@ -82,6 +82,14 @@ def make_run(form):
                 player[None, :] == 0, bs.legal[0], bs.legal[1]
             )  # [P, B]: env lanes minor, dense
             obs = (pk.reshape(pk.shape[0], -1), legal_words)
+        elif form == "12+stowaway":
+            # the round-5 wire: legal plane riding in the obs words'
+            # free low bits — ONE dense [B, 12*P] output
+            from twixt_for_open_spiel_tpu.ops.observe import (
+                bit_observation_packed_with_legal,
+            )
+
+            obs = bit_observation_packed_with_legal(bs, N)
         env = jnp.arange(BATCH, dtype=_U32)
         noise = _hash_u32(
             seed + _U32(2654435761) * (i.astype(_U32) + _U32(1))
@@ -105,8 +113,9 @@ def main():
           f"chunk={CHUNK}")
     bs0 = bit_reset(N, BATCH)
     for form in (
-        "none", "12", "13-two-transpose", "13-one-transpose",
-        "13-lane-major", "12+legal-2out", "12+legal-lane-2out",
+        "none", "12", "12+stowaway", "13-two-transpose",
+        "13-one-transpose", "13-lane-major", "12+legal-2out",
+        "12+legal-lane-2out",
     ):
         run = make_run(form)
         bs, obs = run(0, bs0)

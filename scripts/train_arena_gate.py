@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--arena_batch", type=int, default=256)
     ap.add_argument("--arena_sims", type=int, default=64)
+    ap.add_argument("--arena_search", default="puct",
+                    choices=["puct", "gumbel"],
+                    help="gate search: gumbel@16 agrees with puct@64 "
+                         "verdicts on strong nets at ~4x less search "
+                         "(docs/PERF.md) — the cheap-gate setting for "
+                         "big-board runs")
     ap.add_argument("--gates",
                     default="100,200,300,400,500,600,700,800,900,1000",
                     help="comma-separated iterations at which to arena-gate")
@@ -197,6 +203,7 @@ def main():
             board_size=n,
             batch=args.arena_batch,
             num_simulations=args.arena_sims,
+            search=args.arena_search,
         )
         tally = {k: float(np.asarray(v)) for k, v in tally.items()}
         emit(
@@ -316,6 +323,7 @@ def main():
         batch=args.arena_batch,
         num_simulations=args.arena_sims,
         random_b=True,
+        search=args.arena_search,
     )
     tally = {k: float(np.asarray(v)) for k, v in tally.items()}
     emit(

@@ -111,11 +111,11 @@ def test_fused_bit_emit_obs_matches_xla_packed():
     f_x, s_x, obs_x = bit_rollout_emit_obs(9, n, steps, bs0, packed=True)
     assert int(s_x["episodes"]) == int(s_k["episodes"]) > 0
     p = obs_k.shape[2]
-    # XLA packed wire = (obs_words, legal_words); the fused kernel emits
-    # the 12 obs planes lane-major
-    obs_words, _legal_words = obs_x
+    # both paths emit the FULL wire (obs planes + stowaway legal in the
+    # free low bits); XLA is batch-leading coalesced [T, B, 12*P], the
+    # kernel lane-major [T, 12, P, B]
     ref = (
-        np.asarray(obs_words)
+        np.asarray(obs_x)
         .reshape(steps, b, 12, p)
         .transpose(0, 2, 3, 1)
     )

@@ -200,3 +200,25 @@ def test_search_matches_naive_reference(sims, backup):
 )
 def test_search_matches_naive_reference_table_net(n, sims, backup):
     _run_case(n, sims, "table", backup=backup)
+
+
+def test_gather_node_state_forms_bit_identical():
+    # The two _gather_node_state forms (dense one-hot select-and-reduce
+    # below _DENSE_GATHER_MAX_NODES, per-element take_along_axis gather
+    # above — the sims-axis mitigation) must produce identical searches:
+    # force the gather form at a small tree and pin the whole search
+    # output against the dense run.
+    from twixt_for_open_spiel_tpu.models import mcts
+
+    def run():
+        return _run_case(5, 25, "table", backup="walk")
+
+    run()  # dense (threshold default covers 26 nodes)
+    orig = mcts._DENSE_GATHER_MAX_NODES
+    try:
+        mcts._DENSE_GATHER_MAX_NODES = 0  # force the gather form
+        jax.clear_caches()  # the switch is a trace-time static
+        run()  # _run_case asserts integer-exact vs the naive reference
+    finally:
+        mcts._DENSE_GATHER_MAX_NODES = orig
+        jax.clear_caches()

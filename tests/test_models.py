@@ -186,7 +186,6 @@ def test_selfplay_chunk_and_train(params):
         num_simulations=8,
     )
     assert sample.obs.shape == (t, b, geo.NUM_PLANES * (N + 2 * geo.PAD))
-    assert sample.legal.shape == (t, b, N + 2 * geo.PAD)
     assert sample.policy.shape == (t, b, N * N)
     assert sample.value.shape == (t, b)
     w = np.asarray(sample.weight)
@@ -259,7 +258,13 @@ def test_sample_legal_plane_matches_engine():
         num_steps=t,
         num_simulations=4,
     )
-    legal_dec = np.asarray(unpack_legal_words_flat(sample.legal, N))
+    from twixt_for_open_spiel_tpu.ops.observe import legal_words_from_obs
+
+    t_, b_ = sample.obs.shape[:2]
+    pw = sample.obs.shape[-1] // 12
+    legal_dec = np.asarray(unpack_legal_words_flat(
+        legal_words_from_obs(sample.obs.reshape(t_, b_, 12, pw)), N
+    ))
     # replay the same chunk stepwise: the policy target's support must lie
     # inside the decoded legal mask, and the decoded mask must equal the
     # engine's mask for the recorded mover (cross-check via policy>0)
@@ -303,6 +308,51 @@ def test_unpack_legal_words_flat_matches_engine_mask(n):
             jnp.moveaxis(bit_legal_mask_flat(bs, player, n), 0, -1)
         )
         np.testing.assert_array_equal(dec, ref, err_msg=f"n={n} p={player}")
+
+
+@pytest.mark.parametrize("n", [5, 8, 12, 24])
+def test_wire_legal_stowaway_roundtrip(n):
+    """The full self-play wire (bit_observation_packed_with_legal): the
+    legal plane recovered from the obs words' free low bits must equal
+    the engine's mask for the mover bit-for-bit, and the OBSERVATION
+    decode must be bit-identical to the legal-free encoding's decode
+    (the stowaway only occupies bits the obs decode never reads)."""
+    from twixt_for_open_spiel_tpu.ops.bitboard import (
+        _hash_u32,
+        bit_legal_mask_flat,
+        bit_reset,
+        bit_step_auto_reset,
+        sample_bits,
+    )
+    from twixt_for_open_spiel_tpu.ops.observe import (
+        bit_observation_packed,
+        bit_observation_packed_with_legal,
+        legal_words_from_obs,
+        unpack_legal_words_flat,
+        unpack_observation_nchw,
+    )
+
+    b = 4
+    bs = bit_reset(n, b)
+    env = jnp.arange(b, dtype=jnp.uint32)
+    for i in range(7):
+        noise = _hash_u32(jnp.uint32(3 + i)) + env * jnp.uint32(0x9E3779B9)
+        a = sample_bits(bs, n, noise)
+        bs, _, _ = bit_step_auto_reset(bs, a, n)
+    p_words = n + 2 * geo.PAD
+    wire = bit_observation_packed_with_legal(bs, n)  # [B, 12*P]
+    pk = wire.reshape(b, 12, p_words)
+    dec = np.asarray(unpack_legal_words_flat(legal_words_from_obs(pk), n))
+    player = jnp.clip(bs.current_player, 0, 1)
+    ref = np.asarray(
+        jnp.moveaxis(bit_legal_mask_flat(bs, player, n), 0, -1)
+    )
+    np.testing.assert_array_equal(dec, ref, err_msg=f"n={n}")
+    obs_wire = np.asarray(unpack_observation_nchw(pk, n))
+    obs_plain = np.asarray(
+        unpack_observation_nchw(bit_observation_packed(bs, n), n)
+    )
+    np.testing.assert_array_equal(obs_wire, obs_plain, err_msg=f"n={n}")
 
 
 def test_selfplay_policy_targets_match_engine_legality():
@@ -380,6 +430,28 @@ def test_arena_mcts_beats_random(params):
     score = float(out["a_score"])
     assert int(out["a_wins"]) + int(out["b_wins"]) + int(out["draws"]) == 24
     assert score > 0.6, out
+
+
+def test_arena_gumbel_search_gate(params):
+    # The cheap-gate mode (search="gumbel"): both sides play the improved
+    # policy's argmax from a Gumbel sequential-halving root.  Same sanity
+    # bars as the PUCT arena: beats uniform-random, coherent tally.
+    from twixt_for_open_spiel_tpu.models import arena_match
+
+    out = arena_match(
+        params,
+        params,
+        jax.random.PRNGKey(9),
+        net_apply=_uniform_net,
+        board_size=N,
+        batch=24,
+        num_simulations=16,
+        temp_moves=2,
+        random_b=True,
+        search="gumbel",
+    )
+    assert int(out["a_wins"]) + int(out["b_wins"]) + int(out["draws"]) == 24
+    assert float(out["a_score"]) > 0.6, out
 
 
 def test_arena_self_match_is_balanced(params):
@@ -522,7 +594,6 @@ def test_selfplay_chunk_gumbel(params):
         search="gumbel",
     )
     assert sample.obs.shape == (3, 4, geo.NUM_PLANES * (N + 2 * geo.PAD))
-    assert sample.legal.shape == (3, 4, N + 2 * geo.PAD)
     p = np.asarray(sample.policy)
     assert np.all(p >= 0)
     assert np.allclose(p.sum(-1), 1.0, atol=1e-4)

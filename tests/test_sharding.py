@@ -95,7 +95,6 @@ def test_sharded_selfplay_feeds_sharded_learner():
     state = sharded_bit_reset(n, b, mesh)
     state, sample = selfplay(params, state, jax.random.PRNGKey(1))
     assert sample.obs.shape == (t, b, geo.NUM_PLANES * (n + 2 * geo.PAD))
-    assert sample.legal.shape == (t, b, n + 2 * geo.PAD)
     # sample batch axis sharded over mesh
     shard_sizes = {s.data.shape[1] for s in sample.obs.addressable_shards}
     assert shard_sizes == {b // 8}

@@ -62,7 +62,7 @@ def _dual_net_evaluator(net_apply, board_size: int):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "batch", "num_simulations", "temp_moves",
-        "random_b", "reuse_a",
+        "random_b", "reuse_a", "search",
     ),
 )
 def arena_match(
@@ -78,6 +78,7 @@ def arena_match(
     c_puct: float = 1.4,
     random_b: bool = False,
     reuse_a: bool = False,
+    search: str = "puct",
 ):
     """Play ``batch`` lockstep games of A vs B; returns the tally.
 
@@ -88,6 +89,14 @@ def arena_match(
 
     With ``random_b`` side B ignores the search and plays uniform random
     legal moves (the baseline OpenSpiel's random bot provides).
+
+    ``search`` selects BOTH sides' move generator: ``"puct"`` (default) —
+    AlphaZero PUCT without Dirichlet; ``"gumbel"`` — Gumbel sequential
+    halving in EVALUATION mode (the move is the argmax of the improved
+    policy softmax(logits + sigma(completed Q)); the sampled Gumbels
+    drive only in-search candidate selection).  On a strong net Gumbel@16
+    matches PUCT@64 verdicts at ~4x less search (docs/PERF.md), making it
+    the cheap-gate setting for big-board training runs.
 
     With ``reuse_a`` side A searches with TREE REUSE
     (mcts.search_batch_reuse) while side B cold-starts every move — the
@@ -100,6 +109,8 @@ def arena_match(
     Returns ``{"a_wins", "b_wins", "draws", "games", "a_score"}`` —
     ``a_score`` is the match score with draws counting half.
     """
+    assert search in ("puct", "gumbel"), search
+    assert not (reuse_a and search == "gumbel"), "reuse_a is PUCT-only"
     n = board_size
     a_is_red = (jnp.arange(batch, dtype=jnp.int32) % 2) == 0
     bs = bit_reset(n, batch)
@@ -142,6 +153,16 @@ def arena_match(
                 num_simulations=num_simulations,
                 c_puct=c_puct,
                 dirichlet_frac=0.0,
+            )
+        elif search == "gumbel":
+            _, probs, _ = mcts.gumbel_search_batch(
+                (params_a, params_b, a_is_red),
+                safe,
+                k_search,
+                evaluator=evaluator,
+                board_size=n,
+                num_simulations=num_simulations,
+                c_puct=c_puct,
             )
         else:
             probs, _ = mcts.search_batch(

@@ -88,6 +88,17 @@ _U32 = jnp.uint32
 # parent-chain walk by ~15-20% of total self-play time at 64 sims.
 _AMASK_MAX_NODES = 160
 
+# _gather_node_state picks the dense one-hot select-and-reduce up to this
+# many tree nodes and a per-element take_along_axis gather above: the
+# dense form reads EVERY node's state buffer per simulation (linear in
+# nodes — ~480 MB/sim at board 12, B=512, 513 nodes), the gather prices
+# per fetched element and is constant in nodes.  Measured in situ on v5e
+# (scripts/perf_sims_axis.py, docs/PERF.md "Simulation-budget axis"):
+# dense wins at 65 nodes (590 vs 662 us/sim), the gather wins from 129
+# up (883 vs 918 at 129; 1779 vs 2278 at 513, -22%) — the switch bends
+# the 64->512-sims per-sim growth from 3.9x to 3.0x.
+_DENSE_GATHER_MAX_NODES = 100
+
 
 def _resolve_backup(backup: str, nodes: int) -> bool:
     assert backup in ("auto", "amask", "walk"), backup
@@ -178,21 +189,36 @@ def _unstack_bitstate(planes, compid, scalars) -> BitState:
 
 
 def _gather_node_state(tree: Tree, node: jnp.ndarray) -> BitState:
-    """Per-env node state via a masked one-hot sum over the node axis.
+    """Per-env node state: [nodes, ..., B] buffers x node [B] -> [..., B].
 
-    A take_along_axis on the minor (env) axis lowers to a per-element
-    gather (~113 us); the dense select-and-reduce reads the buffers once
-    (~52 us) and has exactly one hot slot per (position, env).
+    Two bit-identical forms, picked by tree size
+    (``_DENSE_GATHER_MAX_NODES``):
+
+      * dense one-hot select-and-reduce — reads EVERY node slot's buffer
+        (cost linear in nodes); at small trees this beats the gather
+        (~52 vs ~113 us at 65 nodes, board 12, B=512) because the gather
+        prices per element on the minor (env) axis;
+      * take_along_axis gather — fetches exactly the selected slot, cost
+        CONSTANT in nodes; at 512-sim trees the dense form's full-buffer
+        read is the dominant superlinear term of the sims axis
+        (scripts/perf_sims_axis.py, docs/PERF.md), so the gather wins
+        everywhere above the crossover.
     """
     nodes = tree.planes.shape[0]
-
-    def leaf(buf):
-        iota = jnp.arange(nodes, dtype=jnp.int32).reshape(
-            (nodes,) + (1,) * (buf.ndim - 1)
-        )
-        oh = node.reshape((1,) * (buf.ndim - 1) + node.shape) == iota
-        zero = jnp.zeros((), buf.dtype)
-        return jnp.where(oh, buf, zero).sum(axis=0, dtype=buf.dtype)
+    if nodes <= _DENSE_GATHER_MAX_NODES:
+        def leaf(buf):
+            iota = jnp.arange(nodes, dtype=jnp.int32).reshape(
+                (nodes,) + (1,) * (buf.ndim - 1)
+            )
+            oh = node.reshape((1,) * (buf.ndim - 1) + node.shape) == iota
+            zero = jnp.zeros((), buf.dtype)
+            return jnp.where(oh, buf, zero).sum(axis=0, dtype=buf.dtype)
+    else:
+        def leaf(buf):
+            idx = node.reshape((1,) * (buf.ndim - 1) + node.shape)
+            return jnp.take_along_axis(
+                buf, idx.astype(jnp.int32), axis=0
+            )[0]
 
     return _unstack_bitstate(
         leaf(tree.planes), leaf(tree.compid), leaf(tree.scalars)

@@ -30,7 +30,8 @@ from twixt_for_open_spiel_tpu.ops.bitboard import (
     bit_step_auto_reset,
 )
 from twixt_for_open_spiel_tpu.ops.observe import (
-    bit_observation_packed,
+    bit_observation_packed_with_legal,
+    legal_words_from_obs,
     unpack_legal_words_flat,
     unpack_observation_nchw,
 )
@@ -40,30 +41,30 @@ from twixt_for_open_spiel_tpu.models import mcts
 class Sample(NamedTuple):
     """One training chunk, time-major [T, B, ...].
 
-    ``obs`` is stored in the PACKED observation encoding ([T, B, 12*P]
-    u32 column words, ~1 bit/cell — ops/observe.bit_observation_packed
-    with the trailing dims coalesced so the scan's per-step writes use
-    all 128 lanes, see ops/bitboard.bit_rollout_emit_obs): 16-32x less
-    HBM than the unpacked bf16 tensor, so the chunk buffer stays small at
-    large env batches.  ``legal`` is the mover's packed LEGAL-action
-    bitplane at that position ([T, B, P] u32), which the policy loss
-    needs to normalise its cross-entropy over the legal set rather than
-    the visit support (a zero-visit legal action must still receive
-    gradient through the softmax denominator — round-3's
-    support-normalised CE never penalised probability piled on unvisited
-    legal moves, a board-12 training bug).  It is a SEPARATE scan output,
-    not a 13th plane concatenated into ``obs``: any single output
-    containing the concat loses the scan's dense write fusion (measured
-    13M vs 36M env-steps/s at the config-4 shape regardless of layout —
-    scripts/perf_obs_wire.py).  The learner decodes the obs words with
-    ``unpack_observation_nchw`` fused into its input transpose and the
-    legal words with ``unpack_legal_words_flat`` (loss_fn); both
-    encodings are pinned bit-exact (tests/test_bitboard.py,
+    ``obs`` is the FULL wire in one array ([T, B, 12*P] u32 column words,
+    ~1 bit/cell): the 12 packed observation planes
+    (ops/observe.bit_observation_packed, trailing dims coalesced so the
+    scan's per-step writes use all 128 lanes) with the MOVER's packed
+    LEGAL-action plane riding in the words' free low bits
+    (ops/observe.bit_observation_packed_with_legal) — 16-32x less HBM
+    than the unpacked bf16 tensor.  The policy loss needs the legal plane
+    to normalise its cross-entropy over the legal set rather than the
+    visit support (a zero-visit legal action must still receive gradient
+    through the softmax denominator — round-3's support-normalised CE
+    never penalised probability piled on unvisited legal moves, a
+    board-12 training bug).  Riding it in the free bits keeps the wire a
+    SINGLE scan output: a second [T, B, P] output pads P onto 128 lanes
+    per step (42.7 -> 36.1M env-steps/s at config 4, round 4's wire) and
+    a 13-plane concat breaks the dense write fusion entirely (13M) —
+    scripts/perf_obs_wire.py.  The learner decodes observations with
+    ``unpack_observation_nchw`` (reads only live bits, unaffected by the
+    stowaways) fused into its input transpose, and the legal mask with
+    ``legal_words_from_obs`` + ``unpack_legal_words_flat`` (loss_fn);
+    both decodes are pinned bit-exact (tests/test_bitboard.py,
     tests/test_models.py).
     """
 
-    obs: jnp.ndarray       # u32 [T, B, 12*P] packed observation planes
-    legal: jnp.ndarray     # u32 [T, B, P] mover's packed legal plane
+    obs: jnp.ndarray       # u32 [T, B, 12*P] obs planes + stowaway legal
     policy: jnp.ndarray    # f32 [T, B, A] MCTS visit distribution
     value: jnp.ndarray     # f32 [T, B] outcome from mover's perspective
     weight: jnp.ndarray    # f32 [T, B] 0 for positions of unfinished games
@@ -125,14 +126,11 @@ def selfplay_chunk(
         else:
             bs, key = carry
         key, k_search, k_act = jax.random.split(key, 3)
-        pk = bit_observation_packed(bs, board_size)
+        # one [B, 12*P] wire: obs planes + the mover's legal plane in the
+        # free low bits (a second scan output or a 13th plane both lose
+        # throughput — see the Sample docstring)
+        obs = bit_observation_packed_with_legal(bs, board_size)
         player = jnp.clip(bs.current_player, 0, 1)
-        obs = pk.reshape(pk.shape[0], -1)  # coalesce: dense lane writes
-        # the mover's packed legal plane rides as its OWN scan output
-        # (concatenating it into obs breaks the dense write fusion)
-        legal_words = jnp.where(
-            player[None, :] == 0, bs.legal[0], bs.legal[1]
-        ).T  # [B, P]
 
         if search == "gumbel":
             actions, probs, root_q = mcts.gumbel_search_batch(
@@ -183,7 +181,6 @@ def selfplay_chunk(
         nxt, done, result = bit_step_auto_reset(bs, actions, board_size)
         out = {
             "obs": obs,
-            "legal": legal_words,
             "policy": probs,
             "player": player,
             "done": done,
@@ -236,7 +233,6 @@ def selfplay_chunk(
     value = jnp.where(tr["player"] == 0, z_red, -z_red)
     sample = Sample(
         obs=tr["obs"],
-        legal=tr["legal"],
         policy=tr["policy"],
         value=value,
         weight=known.astype(jnp.float32),
@@ -296,10 +292,11 @@ def loss_fn(params, net_apply, sample: Sample, *, val_denom=None):
     a_dim = sample.policy.shape[-1]
     n = int(round(a_dim ** 0.5))  # action space is board_size**2
     p_words = sample.obs.shape[-1] // 12
-    legal = unpack_legal_words_flat(sample.legal, n)  # [T, B, A] bool
-    obs = unpack_observation_nchw(
-        sample.obs.reshape(t * b, 12, p_words), n
-    )
+    pk = sample.obs.reshape(t, b, 12, p_words)
+    legal = unpack_legal_words_flat(
+        legal_words_from_obs(pk), n
+    )  # [T, B, A] bool — the stowaway legal plane in the obs free bits
+    obs = unpack_observation_nchw(pk.reshape(t * b, 12, p_words), n)
     logits, value = net_apply(params, obs)
     logits = logits.reshape(t, b, -1)
     value = value.reshape(t, b)

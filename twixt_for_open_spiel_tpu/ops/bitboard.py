@@ -639,25 +639,28 @@ def bit_rollout_emit_obs(
     carry a 1-D trailing env batch.
 
     With ``packed=True`` ``obs`` is the exact-but-compressed packed
-    encoding instead — a TUPLE ``(obs_words [T, B, 12*P], legal_words
-    [T, B, P])`` of u32 column words (~1 bit/cell, 16-32x fewer HBM
-    bytes than bf16): the observation planes plus the mover's legal
-    plane as a SEPARATE scan output, the full self-play wire
-    (models/selfplay.Sample; a single concatenated output loses the
-    scan's dense write fusion — scripts/perf_obs_wire.py).  The learner
-    decodes the obs words with ``reshape(T, B, 12, P)`` +
-    ``ops.observe.unpack_observation_nchw`` fused into its input
-    transpose and the legal words with
-    ``ops.observe.unpack_legal_words_flat``.  The encoding is pinned
-    bit-equal to the bf16 tensor (tests/test_bitboard.py).  The trailing dims are
-    COALESCED into one: measured on v5e at the config-4 shape, the 3-D
-    [B, 12, P] form leaves only P of 128 lanes live in the scan's per-step
-    output writes (~14M env-steps/s) while the coalesced form writes
-    dense (~39M; scripts/perf_obs_emit.py).
+    encoding instead — ONE array ``[T, B, 12*P]`` of u32 column words
+    (~1 bit/cell, 16-32x fewer HBM bytes than bf16): the observation
+    planes with the mover's packed LEGAL plane riding in the words' free
+    low bits (ops/observe.bit_observation_packed_with_legal) — the full
+    self-play wire (models/selfplay.Sample).  A SECOND scan output for
+    the legal words (the round-4 wire) pads its [B, P] per-step write
+    onto 128 lanes (42.7 -> 36.1M env-steps/s) and a 13-plane concat
+    loses the dense write fusion entirely (13M) —
+    scripts/perf_obs_wire.py.  The learner decodes the obs words with
+    ``reshape(T, B, 12, P)`` + ``ops.observe.unpack_observation_nchw``
+    fused into its input transpose and the legal mask with
+    ``ops.observe.legal_words_from_obs`` +
+    ``ops.observe.unpack_legal_words_flat``.  Both decodes are pinned
+    bit-exact (tests/test_bitboard.py, tests/test_models.py).  The
+    trailing dims are COALESCED into one: measured on v5e at the
+    config-4 shape, the 3-D [B, 12, P] form leaves only P of 128 lanes
+    live in the scan's per-step output writes (~14M env-steps/s) while
+    the coalesced form writes dense (~39M; scripts/perf_obs_emit.py).
     """
     from twixt_for_open_spiel_tpu.ops.observe import (
         bit_observation_nchw,
-        bit_observation_packed,
+        bit_observation_packed_with_legal,
     )
 
     nenv = bs.current_player.shape[-1]
@@ -667,16 +670,9 @@ def bit_rollout_emit_obs(
     def body(carry, i):
         bs, episodes = carry
         if packed:
-            pk = bit_observation_packed(bs, board_size)
-            # the mover's packed legal plane rides as its OWN scan output
-            # (the full self-play wire, models/selfplay.Sample;
-            # concatenating it into obs breaks the scan's dense write
-            # fusion — 13M vs 36M env-steps/s, scripts/perf_obs_wire.py)
-            player = jnp.clip(bs.current_player, 0, 1)
-            legal_words = jnp.where(
-                player[None, :] == 0, bs.legal[0], bs.legal[1]
-            ).T  # [B, P]
-            obs = (pk.reshape(pk.shape[0], -1), legal_words)
+            # one [B, 12*P] wire: obs planes + stowaway legal plane in
+            # the free low bits (models/selfplay.Sample wire format)
+            obs = bit_observation_packed_with_legal(bs, board_size)
         else:
             obs = bit_observation_nchw(bs, board_size, jnp.bfloat16)
         noise = _hash_u32(

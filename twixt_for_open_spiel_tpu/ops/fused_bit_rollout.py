@@ -168,10 +168,12 @@ def _bit_reset_leaves(board_size: int):
 
 
 def _packed_obs_planes(bs: BitState):
-    """The 12 packed observation planes ([P, ...] u32 each), identical
-    bit-for-bit to ops/observe.bit_observation_packed_lanes (reference
-    plane semantics twixt.cc:76-132); Mosaic-safe (bitwise ops +
-    concat-shifts only)."""
+    """The 12 packed observation planes ([P, ...] u32 each) with the
+    MOVER's legal plane riding in planes 0..7's free low bits — identical
+    bit-for-bit to ops/observe.bit_observation_packed_with_legal's
+    lane-major stack (reference plane semantics twixt.cc:76-132; the
+    stowaway legal encoding is ops/observe.pack_legal_into_lanes);
+    Mosaic-safe (bitwise ops + concat-shifts only)."""
     any_link = bs.links[0]
     for plane in expand_planes(bs.links)[1:]:
         any_link = any_link | plane
@@ -182,6 +184,14 @@ def _packed_obs_planes(bs: BitState):
         for d in range(4):
             planes.append(is_color & bs.links[d])
         planes.append(is_color & blocked_e)
+    # stowaway legal plane: 3-bit chunks in the low bits of planes 0..7
+    # (ops/observe._LEGAL_CHUNK_BITS/geo.PAD = 3, 8 planes >= n=24 bits)
+    is_p0 = jnp.clip(bs.current_player, 0, 1) == 0
+    legal = jnp.where(is_p0, bs.legal[0], bs.legal[1])
+    chunk_mask = _U32(7)
+    for k in range(8):
+        chunk = (legal >> _U32(geo.PAD + 3 * k)) & chunk_mask
+        planes[k] = (planes[k] & ~chunk_mask) | chunk
     return planes
 
 
@@ -314,12 +324,15 @@ def fused_bit_rollout(
     with the same interface and BIT-IDENTICAL results to
     ``bitboard.bit_random_rollout(seed, board_size, num_steps, bs)``.
 
-    With ``emit_obs`` additionally returns the PRE-move packed observation
-    of every step — (final_state, stats, obs[T, 12, P, B] u32), the
-    lane-major wire format decoded by
-    ``ops.observe.unpack_observation_lanes_nchw`` and bit-equal to the
-    XLA emission path (``bitboard.bit_rollout_emit_obs(packed=True)``'s
-    first 12 planes; pinned by tests/test_fused_bit.py).  The per-step
+    With ``emit_obs`` additionally returns the PRE-move packed FULL wire
+    of every step — (final_state, stats, obs[T, 12, P, B] u32): the 12
+    observation planes with the mover's legal plane in the free low bits,
+    lane-major; decode observations with
+    ``ops.observe.unpack_observation_lanes_nchw`` and the legal plane via
+    ``ops.observe.legal_words_from_obs`` (on the plane axis).  Bit-equal
+    to the XLA emission path (``bitboard.bit_rollout_emit_obs``
+    ``packed=True``, batch-leading; pinned by
+    tests/test_fused_bit.py).  The per-step
     planes are written straight from VMEM state, so HBM sees only the obs
     stream plus one read+write of the state per launch — the config-4
     learner feed without the XLA path's per-step state re-read/re-write.

@@ -174,6 +174,76 @@ def bit_observation_packed_lanes(bs, board_size: int) -> jnp.ndarray:
     return jnp.stack(packed)                  # [12, P, *B] u32
 
 
+# The self-play wire rides the legal plane INSIDE the obs words' free
+# bits: every packed word's live bits sit at y in [PAD, PAD+n) = [3, 27)
+# for n <= 24, leaving the LOW PAD=3 bits of every plane word free.  The
+# mover's legal word for a column (n live bits) is split into 3-bit
+# chunks carried by planes 0..7 of the same column — 8 planes x 3 bits =
+# 24 bits >= n.  This keeps the wire a SINGLE [B, 12*P] scan output: the
+# round-4 form (legal as a second scan output) cost 42.7 -> 36.1M
+# env-steps/s because the second output's [B, P] per-step write pads P
+# onto 128 lanes, and any CONCAT into one output (13 planes) broke the
+# dense write fusion entirely (13M; scripts/perf_obs_wire.py).
+_LEGAL_CHUNK_BITS = 3
+_LEGAL_CHUNK_PLANES = 8
+assert _LEGAL_CHUNK_BITS == geo.PAD
+assert _LEGAL_CHUNK_BITS * _LEGAL_CHUNK_PLANES >= 24  # max board_size
+
+
+def pack_legal_into_lanes(stack: jnp.ndarray, legal: jnp.ndarray):
+    """OR the legal plane's 3-bit chunks into the low bits of obs planes
+    0..7 (lane-major: ``stack`` [12, P, *B], ``legal`` [P, *B]).
+
+    The planes' own low bits are cleared first (engine bitplanes may carry
+    padding-region bits that the obs decode ignores but the legal decode
+    would misread).  Inverse: :func:`legal_words_from_obs`."""
+    one_chunk = jnp.uint32((1 << _LEGAL_CHUNK_BITS) - 1)
+    planes = []
+    for k in range(_LEGAL_CHUNK_PLANES):
+        chunk = (
+            legal >> jnp.uint32(geo.PAD + _LEGAL_CHUNK_BITS * k)
+        ) & one_chunk
+        planes.append((stack[k] & ~one_chunk) | chunk)
+    return jnp.concatenate(
+        [jnp.stack(planes), stack[_LEGAL_CHUNK_PLANES:]], axis=0
+    )
+
+
+def legal_words_from_obs(pk: jnp.ndarray) -> jnp.ndarray:
+    """Recover the packed legal words from wire obs words ([..., 12, P]
+    u32 with the legal chunks in planes 0..7's low bits) -> [..., P] u32
+    with live bits at y in [PAD, PAD+n) exactly.  Decode the result with
+    :func:`unpack_legal_words_flat`."""
+    one_chunk = jnp.uint32((1 << _LEGAL_CHUNK_BITS) - 1)
+    legal = jnp.zeros_like(pk[..., 0, :])
+    for k in range(_LEGAL_CHUNK_PLANES):
+        legal = legal | (
+            (pk[..., k, :] & one_chunk)
+            << jnp.uint32(geo.PAD + _LEGAL_CHUNK_BITS * k)
+        )
+    return legal
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bit_observation_packed_with_legal(bs, board_size: int) -> jnp.ndarray:
+    """The full self-play wire as ONE array: [B, 12*P] u32 — the 12 packed
+    observation planes with the MOVER's legal plane riding in the free low
+    bits (see :func:`pack_legal_into_lanes`).
+
+    Observation decode (:func:`unpack_observation_nchw`) is unaffected —
+    it reads only bits [PAD, PAD+n) — and is pinned bit-equal to the
+    legal-free wire's decode; the legal decode
+    (:func:`legal_words_from_obs` + :func:`unpack_legal_words_flat`) is
+    pinned bit-equal to the engine's ``bit_legal_mask_flat`` at sizes
+    5-24 (tests/test_models.py)."""
+    stack = bit_observation_packed_lanes(bs, board_size)  # [12, P, B]
+    assert stack.ndim == 3, "wants a 1-D env batch"
+    player = jnp.clip(bs.current_player, 0, 1)
+    legal = jnp.where(player[None, :] == 0, bs.legal[0], bs.legal[1])
+    full = pack_legal_into_lanes(stack, legal)            # [12, P, B]
+    return jnp.transpose(full, (2, 0, 1)).reshape(full.shape[-1], -1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def unpack_observation_lanes_nchw(pk, board_size: int, dtype=jnp.float32):
     """Decode lane-major packed planes ([..., 12, P, B]) to the network

@@ -40,7 +40,6 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
     mesh = mesh or make_env_mesh()
     sample_spec = Sample(
         obs=P(None, ENV_AXIS),
-        legal=P(None, ENV_AXIS),
         policy=P(None, ENV_AXIS),
         value=P(None, ENV_AXIS),
         weight=P(None, ENV_AXIS),
@@ -105,7 +104,6 @@ def make_distributed_selfplay(
         in_specs=(P(), state_spec, P()),
         out_specs=(state_spec, Sample(
             obs=P(None, ENV_AXIS),
-            legal=P(None, ENV_AXIS),
             policy=P(None, ENV_AXIS),
             value=P(None, ENV_AXIS),
             weight=P(None, ENV_AXIS),
