@@ -95,6 +95,24 @@ def test_fused_bit_emit_obs_dma_matches_vmem():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_obs_dma_tile_guard():
+    # The measured Mosaic-crash region (scripts/repro_mosaic_dma_tile.py:
+    # obs_dma with sublanes>=64, or sublanes>=32 with grid>=2) must fail
+    # fast with a clear error instead of killing the compiler subprocess.
+    n = 24
+    for batch, tile in [(8192, 4096), (8192, 8192)]:
+        bs0 = bit_reset(n, batch)
+        with pytest.raises(ValueError, match="Mosaic-crash region"):
+            fused_bit_rollout(
+                0, n, 4, bs0, tile=tile, emit_obs=True, obs_dma=True
+            )
+    # interpret mode and the supported region are NOT guarded
+    bs0 = bit_reset(5, 256)
+    fused_bit_rollout(
+        3, 5, 4, bs0, tile=128, interpret=True, emit_obs=True, obs_dma=True
+    )
+
+
 def test_fused_bit_emit_obs_matches_xla_packed():
     # The fused kernel's per-step packed obs stream (emit_obs=True, the
     # config-4 fast path) must be bit-identical to the XLA emission

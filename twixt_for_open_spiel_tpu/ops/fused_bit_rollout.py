@@ -303,7 +303,7 @@ def _make_kernel(board_size: int, num_steps: int, subl: int, lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("board_size", "num_steps", "tile", "interpret",
-                     "emit_obs", "obs_dma"),
+                     "emit_obs", "obs_dma", "tile_guard"),
 )
 def fused_bit_rollout(
     seed,
@@ -315,6 +315,7 @@ def fused_bit_rollout(
     interpret: bool = False,
     emit_obs: bool = False,
     obs_dma: bool = False,
+    tile_guard: bool = True,
 ):
     """``num_steps`` lockstep random-policy steps fully inside one Pallas
     kernel per batch tile, on the bitboard engine.
@@ -357,6 +358,20 @@ def fused_bit_rollout(
     lanes = min(128, tile)
     assert tile % lanes == 0
     subl = tile // lanes
+    if (tile_guard and emit_obs and obs_dma and not interpret
+            and (subl >= 64 or (subl >= 32 and grid >= 2))):
+        # Measured Mosaic-crash region (scripts/repro_mosaic_dma_tile.py,
+        # chip 2026-08-21): the compiler subprocess dies — no catchable
+        # Python error — for 32-sublane tiles with grid >= 2 and for
+        # >= 64-sublane tiles even at grid 1.  A bare DMA skeleton with
+        # the same pattern compiles fine; the trigger is the engine body
+        # at wide tiles.  Fail fast with the boundary instead.
+        raise ValueError(
+            f"obs_dma tile={tile} (sublanes={subl}) with grid={grid} is in "
+            "the measured Mosaic-crash region (sublanes>=64, or "
+            "sublanes>=32 with grid>=2); use tile<=2048, or tile==batch"
+            "<=4096 — see scripts/repro_mosaic_dma_tile.py"
+        )
 
     def to_kernel_dtype(x):
         if x.dtype == jnp.uint32:
