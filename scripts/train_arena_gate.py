@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--train_microbatch", type=int, default=1,
+                    help="split the train step into K equal time-slices "
+                         "with EXACT gradient accumulation (the big-board "
+                         "memory valve: board 24's chunk-56 step needs "
+                         "16.95G HBM monolithic, fits at K=4)")
     ap.add_argument("--arena_batch", type=int, default=256)
     ap.add_argument("--arena_sims", type=int, default=64)
     ap.add_argument("--arena_search", default="puct",
@@ -84,15 +89,21 @@ def main():
     ap.add_argument("--log", default=None, help="JSONL metrics file")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run to validate the loop end to end")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container pre-imports "
+                         "jax on the remote-TPU tunnel) without --smoke's "
+                         "tiny-budget overrides — for CPU tests of the "
+                         "real argument surface")
     args = ap.parse_args()
 
-    if args.smoke:
+    if args.smoke or args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
         try:
             jax.extend.backend.clear_backends()
         except Exception:
             pass
+    if args.smoke:
         args.board_size, args.batch, args.chunk_steps = 5, 32, 8
         args.simulations, args.channels, args.blocks = 8, 16, 1
         args.iterations, args.arena_batch, args.arena_sims = 4, 16, 8
@@ -161,7 +172,9 @@ def main():
             search=args.search,
             temp_moves=args.temp_moves,
         )
-        dist_trainer, _ = make_distributed_train_step(net.apply, opt, mesh)
+        dist_trainer, _ = make_distributed_train_step(
+            net.apply, opt, mesh, microbatch=args.train_microbatch
+        )
 
         def run_selfplay(params, state, k):
             return dist_selfplay(params, state, k)
@@ -187,7 +200,8 @@ def main():
 
         def run_train(params, opt_state, sample):
             return train_step(
-                params, opt_state, sample, net_apply=net.apply, optimizer=opt
+                params, opt_state, sample, net_apply=net.apply,
+                optimizer=opt, microbatch=args.train_microbatch,
             )
 
         def place_state(state):
@@ -255,6 +269,9 @@ def main():
                 emit({"kind": "warn", "msg": "best_meta.json missing; "
                       "re-gating restored best/ params"})
                 best_score = gate(best_params, best_it, kb)
+                with open(meta_path, "w") as f:  # repair the layout
+                    json.dump({"a_score": best_score,
+                               "iteration": best_it}, f)
             # the RNG stream restarts from the checkpointed iteration's
             # fold; exact bitwise continuation of the original stream is
             # not preserved (the env states are fresh), which is fine —

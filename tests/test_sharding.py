@@ -147,19 +147,29 @@ def test_dist_train_step_matches_local():
     p_loc, _, m_loc = train_step(
         params, opt_state, sample, net_apply=net.apply, optimizer=opt
     )
-    trainer, _ = make_distributed_train_step(net.apply, opt)
-    p_dist, _, m_dist = trainer(params, opt_state, sample)
+    # microbatch=1 is the plain shard combine; microbatch=3 additionally
+    # splits each shard's chunk into time-slices, so the surrogate
+    # denominator must telescope through BOTH the slice mean and the
+    # shard pmean (the board-24 HBM-valve configuration)
+    for microbatch in (1, 3):
+        trainer, _ = make_distributed_train_step(
+            net.apply, opt, microbatch=microbatch
+        )
+        p_dist, _, m_dist = trainer(params, opt_state, sample)
 
-    for a, b_ in zip(
-        jax.tree_util.tree_leaves(p_loc), jax.tree_util.tree_leaves(p_dist)
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-6
-        )
-    for k in ("loss", "policy_loss", "value_loss", "train_frames"):
-        np.testing.assert_allclose(
-            float(m_loc[k]), float(m_dist[k]), rtol=2e-5
-        )
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(p_loc),
+            jax.tree_util.tree_leaves(p_dist),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-6,
+                err_msg=f"microbatch={microbatch}",
+            )
+        for k in ("loss", "policy_loss", "value_loss", "train_frames"):
+            np.testing.assert_allclose(
+                float(m_loc[k]), float(m_dist[k]), rtol=2e-5,
+                err_msg=f"microbatch={microbatch}",
+            )
 
 
 def test_dist_training_improves_gate():

@@ -324,10 +324,62 @@ def loss_fn(params, net_apply, sample: Sample, *, val_denom=None):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("net_apply", "optimizer"))
-def train_step(params, opt_state, sample: Sample, *, net_apply, optimizer):
-    grads, metrics = jax.grad(loss_fn, has_aux=True)(
-        params, net_apply, sample
+def accumulate_grads(params, net_apply, sample: Sample, *, val_denom,
+                     microbatch: int = 1):
+    """Gradients + metrics of ``loss_fn`` over the chunk, with the value
+    term normalised by ``val_denom``, accumulated over ``microbatch``
+    equal time-slices via ``lax.scan``.
+
+    EXACT: with K equal slices, the global objective
+      mean_frames(pol_ce) + sum(val_mse * w) / val_denom
+    equals the mean over slices of the per-slice surrogate
+      pol_mean_slice + val_sum_slice / (val_denom / K)
+    (the same telescoping the distributed combine uses across shards —
+    parallel/learner_feed.py), so summing slice gradients and dividing
+    by K reproduces the full-batch gradient up to float re-association.
+    The point is MEMORY: the net's activations exist for one slice at a
+    time instead of the whole T*B frame batch — board 24's chunk-56
+    train step needs 16.95G of HBM monolithic (OOM on a 15.75G chip)
+    but fits with microbatch=4.  Pinned against the monolithic step by
+    tests/test_models.py::test_train_microbatch_matches_monolithic.
+    """
+    if microbatch == 1:
+        return jax.grad(loss_fn, has_aux=True)(
+            params, net_apply, sample, val_denom=val_denom
+        )
+    t = sample.obs.shape[0]
+    assert t % microbatch == 0, (t, microbatch)
+    slices = jax.tree_util.tree_map(
+        lambda x: x.reshape((microbatch, t // microbatch) + x.shape[1:]),
+        sample,
+    )
+    vd = val_denom / microbatch
+
+    def body(acc, s):
+        g, m = jax.grad(loss_fn, has_aux=True)(
+            params, net_apply, s, val_denom=vd
+        )
+        return jax.tree_util.tree_map(jnp.add, acc, g), m
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc, ms = jax.lax.scan(body, zero, slices)
+    grads = jax.tree_util.tree_map(lambda x: x / microbatch, acc)
+    metrics = {
+        k: (v.sum() if k == "train_frames" else v.mean())
+        for k, v in ms.items()
+    }
+    return grads, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("net_apply", "optimizer", "microbatch")
+)
+def train_step(params, opt_state, sample: Sample, *, net_apply, optimizer,
+               microbatch: int = 1):
+    grads, metrics = accumulate_grads(
+        params, net_apply, sample,
+        val_denom=jnp.maximum(sample.weight.sum(), 1.0),
+        microbatch=microbatch,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

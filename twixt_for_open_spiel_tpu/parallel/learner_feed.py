@@ -19,7 +19,7 @@ from jax import shard_map
 
 from twixt_for_open_spiel_tpu.models.selfplay import (
     Sample,
-    loss_fn,
+    accumulate_grads,
     selfplay_chunk,
 )
 from twixt_for_open_spiel_tpu.ops.bitboard import bit_reset
@@ -30,12 +30,18 @@ from twixt_for_open_spiel_tpu.parallel.mesh import (
 )
 
 
-def make_distributed_train_step(net_apply, optimizer, mesh=None):
+def make_distributed_train_step(net_apply, optimizer, mesh=None,
+                                microbatch: int = 1):
     """(params, opt_state, sample) -> (params, opt_state, metrics).
 
     params/opt_state are replicated; sample is sharded on its batch axis
     (dim 1, time-major [T, B, ...]).  Gradient averaging is an explicit
-    ``psum`` over the env axis inside shard_map.
+    ``psum`` over the env axis inside shard_map.  ``microbatch`` splits
+    each shard's chunk into K equal time-slices with exact gradient
+    accumulation (models/selfplay.accumulate_grads) — the big-board
+    memory valve; the shard x slice surrogate denominator
+    ``max(global_frames, 1) / (nshards * K)`` telescopes through both
+    the slice mean and the shard pmean to the exact global gradient.
     """
     mesh = mesh or make_env_mesh()
     sample_spec = Sample(
@@ -69,8 +75,9 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None):
         # by tests/test_sharding.py::test_dist_train_step_matches_local.
         total = jax.lax.psum(sample.weight.sum(), ENV_AXIS)
         val_denom = jnp.maximum(total, 1.0) / nshards
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            params, net_apply, sample, val_denom=val_denom
+        grads, metrics = accumulate_grads(
+            params, net_apply, sample, val_denom=val_denom,
+            microbatch=microbatch,
         )
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, ENV_AXIS), grads
