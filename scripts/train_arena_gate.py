@@ -56,6 +56,15 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dirichlet_alpha", type=float, default=None,
+                    help="root-noise concentration (default 0.3).  Scale "
+                         "DOWN with the action space (AlphaZero's rule "
+                         "alpha ~ 10/|legal|, i.e. ~0.02 at board 24): "
+                         "the fixed 0.3 is too diffuse above ~board 16 "
+                         "and self-play collapses to a deterministic "
+                         "opening spike (docs/PERF.md board-24)")
+    ap.add_argument("--dirichlet_frac", type=float, default=0.25,
+                    help="root prior noise fraction")
     ap.add_argument("--train_microbatch", type=int, default=1,
                     help="split the train step into K equal time-slices "
                          "with EXACT gradient accumulation (the big-board "
@@ -171,6 +180,8 @@ def main():
             mesh=mesh,
             search=args.search,
             temp_moves=args.temp_moves,
+            dirichlet_alpha=args.dirichlet_alpha,
+            dirichlet_frac=args.dirichlet_frac,
         )
         dist_trainer, _ = make_distributed_train_step(
             net.apply, opt, mesh, microbatch=args.train_microbatch
@@ -196,6 +207,8 @@ def main():
                 num_simulations=args.simulations,
                 temp_moves=args.temp_moves,
                 search=args.search,
+                dirichlet_alpha=args.dirichlet_alpha,
+                dirichlet_frac=args.dirichlet_frac,
             )
 
         def run_train(params, opt_state, sample):
@@ -301,6 +314,11 @@ def main():
                     ),
                     "train_frames": int(
                         np.asarray(metrics["train_frames"])
+                    ),
+                    "target_entropy": round(
+                        float(np.asarray(
+                            metrics.get("target_entropy", 0.0)
+                        )), 3
                     ),
                     "secs": round(dt, 2),
                     "moves_per_s": round(

@@ -90,6 +90,8 @@ def selfplay_chunk(
     temp_moves: int = 10 ** 9,
     search: str = "puct",
     reuse_cap: int | None = None,
+    dirichlet_alpha: float | None = None,
+    dirichlet_frac: float = 0.25,
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
     (final_bitstate, Sample).
@@ -119,6 +121,18 @@ def selfplay_chunk(
     assert search in ("puct", "puct_reuse", "gumbel"), search
     batch = bs.current_player.shape[-1]
     reuse = search == "puct_reuse"
+    # Root-noise concentration.  The historical fixed default (0.3) is
+    # fine up to ~board 16 but too DIFFUSE at board 24: spread over ~530
+    # legal actions, no single noise component gets enough prior mass to
+    # compete with a sharpening net policy for visits, PUCT selection
+    # turns prior-driven (the value head is outcome-starved on big
+    # boards), and self-play collapses to a deterministic opening spike
+    # (measured: empty-board policy entropy 0.000 by iteration 150,
+    # gates ~0.16 vs init — docs/PERF.md board-24).  AlphaZero's own
+    # scaling rule is alpha ~ 10/|legal|; pass dirichlet_alpha
+    # explicitly (train_arena_gate --dirichlet_alpha) for big boards.
+    if dirichlet_alpha is None:
+        dirichlet_alpha = 0.3
 
     def body(carry, i):
         if reuse:
@@ -154,6 +168,8 @@ def selfplay_chunk(
                     board_size=board_size,
                     num_simulations=num_simulations,
                     reuse_cap=reuse_cap,
+                    dirichlet_alpha=dirichlet_alpha,
+                    dirichlet_frac=dirichlet_frac,
                 )
             else:
                 probs, root_q = mcts.search_batch(
@@ -163,6 +179,8 @@ def selfplay_chunk(
                     evaluator=mcts.net_evaluator(net_apply, board_size),
                     board_size=board_size,
                     num_simulations=num_simulations,
+                    dirichlet_alpha=dirichlet_alpha,
+                    dirichlet_frac=dirichlet_frac,
                 )
             # temperature sampling over visit counts; illegal actions
             # carry zero visit mass, but mask explicitly for safety
@@ -316,11 +334,18 @@ def loss_fn(params, net_apply, sample: Sample, *, val_denom=None):
     pol_mean = pol_loss.mean()
     val_mean = (val_loss * w).sum() / val_denom
     loss = pol_mean + val_mean
+    # mean entropy of the visit targets — the collapse canary: a healthy
+    # big-board run sits well above 0 (board-24's entropy collapse to a
+    # deterministic opening spike showed here first; docs/PERF.md)
+    tgt_ent = -(
+        sample.policy * jnp.log(jnp.maximum(sample.policy, 1e-12))
+    ).sum(-1).mean()
     return loss, {
         "loss": loss,
         "policy_loss": pol_mean,
         "value_loss": val_mean,
         "train_frames": w.sum(),
+        "target_entropy": tgt_ent,
     }
 
 

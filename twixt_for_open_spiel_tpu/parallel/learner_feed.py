@@ -98,6 +98,7 @@ def make_distributed_train_step(net_apply, optimizer, mesh=None,
 def make_distributed_selfplay(
     net_apply, board_size, num_steps, num_simulations, mesh=None,
     search="puct", temp_moves=10 ** 9,
+    dirichlet_alpha=None, dirichlet_frac=0.25,
 ):
     """(params, bitstate, key) -> (bitstate, sample) with env-sharded
     state/sample.  The env state is the bitboard representation throughout
@@ -130,6 +131,8 @@ def make_distributed_selfplay(
             num_simulations=num_simulations,
             search=search,
             temp_moves=temp_moves,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_frac=dirichlet_frac,
         )
 
     return jax.jit(dist_selfplay), mesh
