@@ -65,6 +65,13 @@ def main():
                          "opening spike (docs/PERF.md board-24)")
     ap.add_argument("--dirichlet_frac", type=float, default=0.25,
                     help="root prior noise fraction")
+    ap.add_argument("--value_bootstrap", type=float, default=0.0,
+                    help="weight for n-step-truncation value targets on "
+                         "chunk-unfinished frames (bootstrapped from the "
+                         "last step's search root value).  0 = outcome-"
+                         "only (the small-board recipes).  Big boards "
+                         "(games >> chunk) starve the value head without "
+                         "it — docs/PERF.md board-24")
     ap.add_argument("--train_microbatch", type=int, default=1,
                     help="split the train step into K equal time-slices "
                          "with EXACT gradient accumulation (the big-board "
@@ -182,6 +189,7 @@ def main():
             temp_moves=args.temp_moves,
             dirichlet_alpha=args.dirichlet_alpha,
             dirichlet_frac=args.dirichlet_frac,
+            value_bootstrap=args.value_bootstrap,
         )
         dist_trainer, _ = make_distributed_train_step(
             net.apply, opt, mesh, microbatch=args.train_microbatch
@@ -209,6 +217,7 @@ def main():
                 search=args.search,
                 dirichlet_alpha=args.dirichlet_alpha,
                 dirichlet_frac=args.dirichlet_frac,
+                value_bootstrap=args.value_bootstrap,
             )
 
         def run_train(params, opt_state, sample):

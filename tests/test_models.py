@@ -649,3 +649,52 @@ def test_train_microbatch_matches_monolithic():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
                 err_msg=f"params diverged at microbatch={k}",
             )
+
+
+def test_value_bootstrap_targets():
+    """value_bootstrap must (a) leave finished-episode frames EXACTLY as
+    the outcome-only path produces them (same targets, weight 1.0),
+    (b) give every chunk-unfinished frame the last step's root value in
+    the frame-mover's perspective with the bootstrap weight, and
+    (c) leave policy targets and the obs wire untouched."""
+    net = create_net(N, channels=8, blocks=1)
+    params = init_params(net, jax.random.PRNGKey(2))
+    kwargs = dict(
+        net_apply=net.apply, board_size=N, num_steps=6, num_simulations=4
+    )
+    key = jax.random.PRNGKey(9)
+    _, s_plain = selfplay_chunk(params, bit_reset(N, 8), key, **kwargs)
+    _, s_boot = selfplay_chunk(
+        params, bit_reset(N, 8), key, value_bootstrap=0.5, **kwargs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_plain.obs), np.asarray(s_boot.obs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_plain.policy), np.asarray(s_boot.policy)
+    )
+    w_plain = np.asarray(s_plain.weight)
+    w_boot = np.asarray(s_boot.weight)
+    # finished frames: identical weight and value
+    fin = w_plain == 1.0
+    assert fin.any()
+    np.testing.assert_array_equal(w_boot[fin], 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(s_boot.value)[fin], np.asarray(s_plain.value)[fin]
+    )
+    # unfinished frames: weight 0 -> bootstrap weight, |target| <= 1,
+    # consistent sign flips between the two movers' frames
+    unf = w_plain == 0.0
+    assert unf.any(), "test needs chunk-truncated episodes"
+    np.testing.assert_array_equal(w_boot[unf], 0.5)
+    v = np.asarray(s_boot.value)
+    assert np.all(np.abs(v[unf]) <= 1.0 + 1e-6)
+    # within one env's trailing unfinished run, red-frame targets are the
+    # negation of blue-frame targets (both derive from one z_red)
+    t, b = w_plain.shape
+    pol = np.asarray(s_plain.policy)
+    for e in range(b):
+        col = np.nonzero(unf[:, e])[0]
+        if len(col) >= 2:
+            vals = v[col, e]
+            assert len(np.unique(np.round(np.abs(vals), 6))) == 1

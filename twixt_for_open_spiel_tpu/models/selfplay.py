@@ -74,7 +74,7 @@ class Sample(NamedTuple):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "num_steps", "num_simulations", "search",
-        "temp_moves", "reuse_cap",
+        "temp_moves", "reuse_cap", "value_bootstrap",
     ),
 )
 def selfplay_chunk(
@@ -92,6 +92,7 @@ def selfplay_chunk(
     reuse_cap: int | None = None,
     dirichlet_alpha: float | None = None,
     dirichlet_frac: float = 0.25,
+    value_bootstrap: float = 0.0,
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
     (final_bitstate, Sample).
@@ -204,6 +205,8 @@ def selfplay_chunk(
             "done": done,
             "result": result,
         }
+        if value_bootstrap:
+            out["root_q"] = root_q
         if reuse:
             return (nxt, key, tree, actions, done), out
         return (nxt, key), out
@@ -227,10 +230,20 @@ def selfplay_chunk(
         )
 
     # Backward scan: propagate each episode's terminal outcome (red's
-    # perspective) to all of its positions; positions whose episode never
-    # finished inside the chunk get weight 0.
+    # perspective) to all of its positions.  Positions whose episode never
+    # finished inside the chunk get weight 0 — UNLESS ``value_bootstrap``
+    # is set, in which case the trailing unfinished episode's frames are
+    # trained toward the LAST step's search root value (converted to
+    # red's perspective) with weight ``value_bootstrap``: the n-step
+    # truncation bootstrap.  On big boards games run several chunks long
+    # (board 24: ~150 plies vs chunk 56), so outcome-only targets starve
+    # the value head (~3.5% of frames, all endgame) and PUCT selection
+    # turns prior-driven — the entropy-collapse mechanism docs/PERF.md's
+    # board-24 section measures.  Exact-outcome frames always keep
+    # weight 1.0 and their exact targets (pinned by
+    # tests/test_models.py::test_value_bootstrap_targets).
     def back(carry, t):
-        z_red, known = carry
+        z_red, w = carry
         done, result = t["done"], t["result"]
         z_here = jnp.where(
             result == geo.RESULT_RED_WIN,
@@ -238,22 +251,28 @@ def selfplay_chunk(
             jnp.where(result == geo.RESULT_BLUE_WIN, -1.0, 0.0),
         )
         z_red = jnp.where(done, z_here, z_red)
-        known = jnp.where(done, True, known)
-        return (z_red, known), (z_red, known)
+        w = jnp.where(done, 1.0, w)
+        return (z_red, w), (z_red, w)
 
     batch_shape = tr["done"].shape[1:]
-    (_, _), (z_red, known) = jax.lax.scan(
-        back,
-        (jnp.zeros(batch_shape), jnp.zeros(batch_shape, bool)),
-        tr,
-        reverse=True,
+    if value_bootstrap:
+        # mover-perspective root value of the chunk's last position,
+        # flipped to red's perspective
+        q_last = tr["root_q"][-1]
+        z0 = jnp.where(tr["player"][-1] == 0, q_last, -q_last)
+        w0 = jnp.full(batch_shape, float(value_bootstrap))
+    else:
+        z0 = jnp.zeros(batch_shape)
+        w0 = jnp.zeros(batch_shape)
+    (_, _), (z_red, w) = jax.lax.scan(
+        back, (z0, w0), tr, reverse=True,
     )
     value = jnp.where(tr["player"] == 0, z_red, -z_red)
     sample = Sample(
         obs=tr["obs"],
         policy=tr["policy"],
         value=value,
-        weight=known.astype(jnp.float32),
+        weight=w.astype(jnp.float32),
     )
     return final_bs, sample
 

@@ -99,6 +99,7 @@ def make_distributed_selfplay(
     net_apply, board_size, num_steps, num_simulations, mesh=None,
     search="puct", temp_moves=10 ** 9,
     dirichlet_alpha=None, dirichlet_frac=0.25,
+    value_bootstrap=0.0,
 ):
     """(params, bitstate, key) -> (bitstate, sample) with env-sharded
     state/sample.  The env state is the bitboard representation throughout
@@ -133,6 +134,7 @@ def make_distributed_selfplay(
             temp_moves=temp_moves,
             dirichlet_alpha=dirichlet_alpha,
             dirichlet_frac=dirichlet_frac,
+            value_bootstrap=value_bootstrap,
         )
 
     return jax.jit(dist_selfplay), mesh
