@@ -139,6 +139,15 @@ def main():
     from twixt_for_open_spiel_tpu.utils import serialization
 
     n = args.board_size
+    if args.search == "gumbel" and (
+        args.dirichlet_alpha is not None or args.dirichlet_frac != 0.25
+    ):
+        # Gumbel search has no Dirichlet root noise (exploration comes
+        # from the Gumbel perturbation itself) — fail fast rather than
+        # burn hours of chip time on a flag that does nothing.
+        ap.error("--dirichlet_alpha/--dirichlet_frac have no effect with "
+                 "--search=gumbel (Gumbel explores via its own root "
+                 "perturbation); drop the flags or use --search=puct")
     gates = sorted(int(g) for g in args.gates.split(",") if g)
     print(
         f"[train] backend={jax.default_backend()} n={n} batch={args.batch} "

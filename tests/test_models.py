@@ -692,9 +692,55 @@ def test_value_bootstrap_targets():
     # within one env's trailing unfinished run, red-frame targets are the
     # negation of blue-frame targets (both derive from one z_red)
     t, b = w_plain.shape
-    pol = np.asarray(s_plain.policy)
     for e in range(b):
         col = np.nonzero(unf[:, e])[0]
         if len(col) >= 2:
             vals = v[col, e]
             assert len(np.unique(np.round(np.abs(vals), 6))) == 1
+    # EXACT sign pin (not just magnitudes): rebuild every bootstrap
+    # target from the chunk's own per-frame mover and last-step root_q —
+    # v[t,e] must equal root_q_last[e] converted last-mover -> red ->
+    # frame-mover.  A perspective flip at either conversion (z0 or the
+    # per-frame flip) changes signs and fails here.  The fresh net's
+    # ZERO-INIT value head makes every root_q exactly 0 (vacuous signs),
+    # so this section biases the value output position-dependently.
+    def biased_apply(p, obs):
+        logits, vv = net.apply(p, obs)
+        bias = jnp.tanh(obs.sum(axis=(1, 2, 3)) * 0.11 - 0.3)
+        return logits, jnp.clip(vv + bias, -0.95, 0.95)
+
+    kwargs_b = dict(kwargs, net_apply=biased_apply)
+    _, s_dbg, aux = selfplay_chunk(
+        params, bit_reset(N, 8), key, value_bootstrap=0.5,
+        debug_trace=True, **kwargs_b
+    )
+    v_dbg = np.asarray(s_dbg.value)
+    unf_dbg = np.asarray(s_dbg.weight) == 0.5
+    assert unf_dbg.any()
+    player = np.asarray(aux["player"])
+    q_last = np.asarray(aux["root_q_last"])
+    z_red = np.where(player[-1] == 0, q_last, -q_last)
+    v_expect = np.where(player == 0, z_red[None, :], -z_red[None, :])
+    np.testing.assert_allclose(
+        v_dbg[unf_dbg], v_expect[unf_dbg].astype(v_dbg.dtype),
+        rtol=0, atol=1e-6,
+        err_msg="bootstrap target perspective conversion is wrong",
+    )
+    # at least one unfinished frame must carry a NONZERO target, so the
+    # sign pin above is not vacuous — and both signs must appear across
+    # the alternating movers' frames
+    assert np.any(np.abs(v_dbg[unf_dbg]) > 1e-4)
+    assert np.any(v_dbg[unf_dbg] > 0) and np.any(v_dbg[unf_dbg] < 0)
+
+
+def test_value_bootstrap_range_validated():
+    """weights > 1 would let bootstrap frames outweigh exact-outcome
+    frames (inverting the valve) — rejected at trace time."""
+    net = create_net(N, channels=8, blocks=1)
+    params = init_params(net, jax.random.PRNGKey(2))
+    with pytest.raises(ValueError, match="value_bootstrap"):
+        selfplay_chunk(
+            params, bit_reset(N, 4), jax.random.PRNGKey(0),
+            net_apply=net.apply, board_size=N, num_steps=2,
+            num_simulations=2, value_bootstrap=1.5,
+        )

@@ -80,3 +80,17 @@ def test_resume_pre_meta_checkpoint_regates_best(tmp_path):
     assert resume["best_score"] >= 0.0
     # and best_meta.json is re-established by the end of the run
     assert os.path.exists(tmp_path / "ckpt" / "best_meta.json")
+
+
+def test_gumbel_rejects_dirichlet_flags(tmp_path):
+    """--dirichlet_alpha/frac do nothing under --search=gumbel (Gumbel has
+    no Dirichlet root noise) — the script must FAIL FAST rather than let a
+    long chip run burn with the flag silently ignored."""
+    proc = subprocess.run(
+        [sys.executable, SCRIPT, *ARGS, "--iterations=1", "--gates=1",
+         "--search=gumbel", "--dirichlet_alpha=0.02",
+         f"--log={tmp_path / 'g.jsonl'}"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
+    assert "no effect with" in proc.stderr

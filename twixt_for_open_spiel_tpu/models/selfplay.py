@@ -74,7 +74,7 @@ class Sample(NamedTuple):
     jax.jit,
     static_argnames=(
         "net_apply", "board_size", "num_steps", "num_simulations", "search",
-        "temp_moves", "reuse_cap", "value_bootstrap",
+        "temp_moves", "reuse_cap", "value_bootstrap", "debug_trace",
     ),
 )
 def selfplay_chunk(
@@ -93,6 +93,7 @@ def selfplay_chunk(
     dirichlet_alpha: float | None = None,
     dirichlet_frac: float = 0.25,
     value_bootstrap: float = 0.0,
+    debug_trace: bool = False,
 ):
     """Run ``num_steps`` MCTS-driven lockstep steps; returns
     (final_bitstate, Sample).
@@ -134,6 +135,12 @@ def selfplay_chunk(
     # explicitly (train_arena_gate --dirichlet_alpha) for big boards.
     if dirichlet_alpha is None:
         dirichlet_alpha = 0.3
+    # bootstrap frames must never outweigh exact-outcome frames (w=1.0):
+    # a value > 1 would silently invert the valve's intent in the MSE.
+    if not 0.0 <= value_bootstrap <= 1.0:
+        raise ValueError(
+            f"value_bootstrap must be in [0, 1], got {value_bootstrap}"
+        )
 
     def body(carry, i):
         if reuse:
@@ -274,6 +281,15 @@ def selfplay_chunk(
         value=value,
         weight=w.astype(jnp.float32),
     )
+    if debug_trace:
+        # test/diagnostic hook: per-frame mover + (with bootstrap) the
+        # last step's mover-perspective root value — exactly the inputs
+        # of the perspective conversion above, so tests can pin the SIGN
+        # of bootstrap targets, not just their magnitude
+        aux = {"player": tr["player"]}
+        if value_bootstrap:
+            aux["root_q_last"] = tr["root_q"][-1]
+        return final_bs, sample, aux
     return final_bs, sample
 
 

@@ -184,13 +184,17 @@ def _packed_obs_planes(bs: BitState):
         for d in range(4):
             planes.append(is_color & bs.links[d])
         planes.append(is_color & blocked_e)
-    # stowaway legal plane: 3-bit chunks in the low bits of planes 0..7
-    # (ops/observe._LEGAL_CHUNK_BITS/geo.PAD = 3, 8 planes >= n=24 bits)
+    # stowaway legal plane: _LEGAL_CHUNK_BITS-bit chunks in the low bits
+    # of planes 0.._LEGAL_CHUNK_PLANES-1 — constants shared with
+    # ops/observe so the two encoders cannot silently diverge (the
+    # module-level asserts there guard the layout)
+    from .observe import _LEGAL_CHUNK_BITS, _LEGAL_CHUNK_PLANES
+
     is_p0 = jnp.clip(bs.current_player, 0, 1) == 0
     legal = jnp.where(is_p0, bs.legal[0], bs.legal[1])
-    chunk_mask = _U32(7)
-    for k in range(8):
-        chunk = (legal >> _U32(geo.PAD + 3 * k)) & chunk_mask
+    chunk_mask = _U32((1 << _LEGAL_CHUNK_BITS) - 1)
+    for k in range(_LEGAL_CHUNK_PLANES):
+        chunk = (legal >> _U32(geo.PAD + _LEGAL_CHUNK_BITS * k)) & chunk_mask
         planes[k] = (planes[k] & ~chunk_mask) | chunk
     return planes
 
